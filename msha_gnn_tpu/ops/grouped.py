@@ -1,0 +1,88 @@
+"""Grouped-clique attention ops — the factored O(N) replacement for the
+reference's dense (B, N) intra-city / intra-province attention.
+
+The reference materialises ``(B, N)`` logit matrices against dense ``(N, N)``
+clique adjacencies (``train.py:85-104``).  Two structural facts make that
+entirely unnecessary:
+
+1. The logits are *self-concat* (``[h_b || h_b] . a3``, ``train.py:88-92``):
+   each row of the (B, N) matrix is a constant ``leaky_relu(h_b.(a_lo+a_hi))``.
+2. The adjacency is a union of cliques (same city / same province), so the
+   mask of row b is "n in group(b)" and every masked softmax / aggregation
+   reduces to *group-keyed segment ops* on per-sample scalars.
+
+Hence for clique size counting, joint-softmax denominators and the
+``attention.T @ h`` aggregation we never form anything bigger than O(B + N).
+This is exact (not an approximation) in eval mode; under dropout the factored
+path drops whole per-sample attention rows instead of individual (b, n)
+entries (documented divergence — per-entry dropout on an implicit clique
+would require materialising it).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..graph import Grouping
+from .segment import segment_sum
+
+Array = jax.Array
+
+
+def clique_row_scalar_logits(
+    h_batch: Array, a: Array, *, negative_slope: float = 0.2
+) -> Array:
+    """Per-sample scalar intra-channel logit ``c[b]`` (``train.py:88-92``):
+    the entire row b of the reference's (B, N) logit matrix equals
+    ``leaky_relu(h_batch[b] . (a_lo + a_hi))``."""
+    d = h_batch.shape[-1]
+    a = a.reshape(2 * d)
+    return jax.nn.leaky_relu(h_batch @ (a[:d] + a[d:]), negative_slope=negative_slope)
+
+
+def clique_exp_row_sum(
+    row_logit: Array, grouping: Grouping, batch_index: Array
+) -> Array:
+    """``sum_n exp(masked_logits[b, n])`` for a clique-masked constant-row
+    logit matrix: masked entries contribute exp(-9e15) = 0 and the
+    ``|group(b)|`` unmasked entries each contribute ``exp(c[b])`` —
+    so the sum is ``count[group(b)] * exp(c[b])`` (``train.py:98-100``)."""
+    cnt = grouping.member_sizes()[batch_index].astype(row_logit.dtype)
+    return cnt * jnp.exp(row_logit)
+
+
+def clique_weighted_scatter(
+    weights: Array,
+    values: Array,
+    grouping: Grouping,
+    batch_index: Array,
+) -> Array:
+    """``attention.T @ values`` for clique-structured attention
+    (``train.py:113``: ``IntraNC = attention3.t() @ h2_``).
+
+    ``attention[b, n] = weights[b] * 1[n in group(b)]``, so
+
+    ``out[n] = sum_{b : group(b) == group(n)} weights[b] * values[b]``
+
+    = segment-sum of ``weights[b] * values[b]`` keyed by the sample's group,
+    gathered back at each node's group.  O(B*d + G*d) instead of O(B*N*d).
+    """
+    contrib = weights[:, None] * values  # [B, d]
+    per_group = segment_sum(contrib, grouping.group_id[batch_index], grouping.num_groups)
+    return per_group[grouping.group_id]  # [N, d]
+
+
+def clique_masked_softmax_dense(
+    row_logit: Array,
+    grouping: Grouping,
+    batch_index: Array,
+    denom: Array,
+) -> Array:
+    """Materialise the (B, N) attention matrix for explanation/tests only:
+    ``att[b, n] = exp(row_logit[b]) / denom[b] * 1[n in group(b)]``."""
+    gid_b = grouping.group_id[batch_index]
+    mask = gid_b[:, None] == grouping.group_id[None, :]
+    return jnp.where(mask, jnp.exp(row_logit)[:, None] / denom[:, None], 0.0)
