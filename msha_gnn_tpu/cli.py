@@ -1,0 +1,161 @@
+"""Command-line entry points: ``python -m msha_gnn_tpu.cli <cmd>``.
+
+Replaces the reference's script-per-experiment layout (``python train.py`` /
+``LLP.py`` / ``SGAE.py``) with one CLI: ``train`` (flow classification for
+every model preset), ``llp`` (KD link prediction), ``explain`` (attention
+top-K extraction), ``bench`` (kernel/step microbenchmarks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def _add_dataclass_args(parser, cls):
+    for f in dataclasses.fields(cls):
+        if f.type in ("int", int):
+            parser.add_argument(f"--{f.name}", type=int, default=f.default)
+        elif f.type in ("float", float):
+            parser.add_argument(f"--{f.name}", type=float, default=f.default)
+        elif f.type in ("str", str):
+            parser.add_argument(f"--{f.name}", type=str, default=f.default)
+        elif f.type in ("Optional[str]",):
+            parser.add_argument(f"--{f.name}", type=str, default=f.default)
+
+
+def _config_from_args(cls, args):
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in vars(args).items() if k in names})
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from .data import load_flow_graph, train_test_split_records
+    from .training import (
+        Trainer,
+        TrainState,
+        gat_task,
+        gcn_task,
+        msha_task,
+        sage_task,
+    )
+    from .utils import JsonlLogger, TrainConfig
+
+    cfg = _config_from_args(TrainConfig, args)
+    log = JsonlLogger(cfg.log_path)
+    fg = load_flow_graph(cfg.year, cfg.data_dir)
+    log({"event": "data", "n": fg.n_src, "m": fg.n_dst,
+         "records": fg.num_records, "edges": fg.inter.num_edges})
+
+    if cfg.model in ("msha", "ours", "ablation1", "ablation2", "ablation3"):
+        flags = cfg.model_flags()
+        n_heads = flags.pop("n_heads", cfg.n_heads)
+        task, variables, _ = msha_task(
+            fg, in_features=cfg.in_features, out_features=cfg.out_features,
+            n_heads=n_heads, dropout=cfg.dropout, lr=cfg.lr,
+            weight_decay=cfg.weight_decay, seed=cfg.seed, **flags,
+        )
+    elif cfg.model == "gat":
+        task, variables, _ = gat_task(
+            fg, n_heads=cfg.n_heads, dropout=cfg.dropout, lr=cfg.lr,
+            weight_decay=cfg.weight_decay, seed=cfg.seed,
+        )
+    elif cfg.model == "gcn":
+        task, variables, _ = gcn_task(
+            fg, nfeat=cfg.in_features, dropout=cfg.dropout, lr=cfg.lr,
+            weight_decay=cfg.weight_decay, seed=cfg.seed,
+        )
+    elif cfg.model == "sage":
+        task, variables, _ = sage_task(
+            fg, in_features=cfg.in_features, dropout=cfg.dropout, lr=cfg.lr,
+            weight_decay=cfg.weight_decay, seed=cfg.seed,
+        )
+    else:
+        print(f"unknown model {cfg.model!r}", file=sys.stderr)
+        return 2
+
+    src = np.asarray(fg.edge_src)
+    dst = np.asarray(fg.edge_dst)
+    train_ids, test_ids = train_test_split_records(
+        fg.num_records, cfg.train_fraction, cfg.seed
+    )
+    state = TrainState.create(variables, task.tx)
+    trainer = Trainer(task=task, src=src, labels=dst,
+                      batch_size=cfg.batch_size, seed=cfg.seed, log=log)
+    state, history = trainer.fit(state, train_ids, test_ids, cfg.epochs,
+                                 rng_key=jax.random.key(cfg.seed))
+    if cfg.checkpoint_dir:
+        from .training.checkpoint import save_checkpoint
+
+        save_checkpoint(cfg.checkpoint_dir, state, step=int(state.step))
+    print(json.dumps(history[-1]))
+    return 0
+
+
+def cmd_llp(args) -> int:
+    from .training.kd import run_llp
+    from .utils import JsonlLogger, LLPConfig
+
+    cfg = _config_from_args(LLPConfig, args)
+    result = run_llp(cfg, log=JsonlLogger(cfg.log_path))
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_explain(args) -> int:
+    from .explain import run_explain
+
+    out = run_explain(
+        year=args.year, data_dir=args.data_dir, model=args.model,
+        epochs=args.epochs, top_k=args.top_k, output=args.output,
+    )
+    print(json.dumps({"written": out}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from .bench import run_bench
+
+    print(json.dumps(run_bench(which=args.which)))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="msha_gnn_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    from .utils import LLPConfig, TrainConfig
+
+    p_train = sub.add_parser("train", help="flow-classification training")
+    _add_dataclass_args(p_train, TrainConfig)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_llp = sub.add_parser("llp", help="KD link prediction")
+    _add_dataclass_args(p_llp, LLPConfig)
+    p_llp.set_defaults(fn=cmd_llp)
+
+    p_exp = sub.add_parser("explain", help="attention top-K extraction")
+    p_exp.add_argument("--year", default="2015")
+    p_exp.add_argument("--data_dir", default="/root/reference/anonymous_data")
+    p_exp.add_argument("--model", default="msha")
+    p_exp.add_argument("--epochs", type=int, default=1)
+    p_exp.add_argument("--top_k", type=int, default=100)
+    p_exp.add_argument("--output", default="explain.json")
+    p_exp.set_defaults(fn=cmd_explain)
+
+    p_bench = sub.add_parser("bench", help="microbenchmarks")
+    p_bench.add_argument("--which", default="all")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,126 @@
+"""Attention explanation — the Record()/Explainer pipeline as jitted ops.
+
+Reference flow (``train.py:284-323`` + ``Explainer.py``): re-run all N
+source nodes through the model with a record flag filling dense (N, M) and
+(N, N) coefficient buffers (~6 GB at N=39k), dump npz, then take per-row
+argmax sets and map indices back to names.
+
+Here the same artefacts come out of the factored representation directly:
+
+* inter channel: the (N, M) attention matrix is batch-independent, so one
+  recorded forward yields it; top-K per row (source -> recipients) and per
+  column (recipient -> sources) via ``jax.lax.top_k``.
+* city/province channels: the recorded dense row for node i is the constant
+  ``w[i]`` over the members of i's clique (``train.py:106-110`` semantics),
+  so the reference's ``argwhere(row == max)`` set is exactly the clique
+  member list — emitted from the grouping without any (N, N) buffer.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import load_flow_graph
+from .data.flow import load_index_match
+from .graph import Grouping
+
+
+def top_k_per_row(matrix, k: int):
+    """[N, M] -> ([N, k] indices, [N, k] values), descending."""
+    vals, idx = jax.lax.top_k(matrix, k)
+    return np.asarray(idx), np.asarray(vals)
+
+
+def clique_members(grouping: Grouping, cap: Optional[int] = None):
+    """Per-node member list of its clique (the reference's city/province
+    argmax explanation set), capped at ``cap`` members."""
+    gid = np.asarray(grouping.group_id)
+    order = np.argsort(gid, kind="stable")
+    sorted_gid = gid[order]
+    boundaries = np.searchsorted(sorted_gid, np.arange(grouping.num_groups + 1))
+    members = {}
+    for g in range(grouping.num_groups):
+        mem = order[boundaries[g] : boundaries[g + 1]]
+        members[g] = mem[:cap].tolist() if cap else mem.tolist()
+    return [members[g] for g in gid]
+
+
+def extract_attention(att_inter: np.ndarray, city: Grouping,
+                      province: Grouping, *, top_k: int = 1,
+                      member_cap: int = 100):
+    """Build the Explainer.py:25-34 artefacts from a recorded inter
+    attention matrix and the groupings."""
+    k = min(top_k, att_inter.shape[1])
+    src_idx, src_val = top_k_per_row(jnp.asarray(att_inter), k)
+    kk = min(max(top_k, 1), att_inter.shape[0])
+    rec_idx, rec_val = top_k_per_row(jnp.asarray(att_inter.T), kk)
+    return {
+        "inter_src_top": src_idx,       # per source: top recipients
+        "inter_src_val": src_val,
+        "inter_rec_top": rec_idx,       # per recipient: top sources
+        "inter_rec_val": rec_val,
+        "city_members": clique_members(city, member_cap),
+        "province_members": clique_members(province, member_cap),
+    }
+
+
+def run_explain(year="2015", data_dir="/root/reference/anonymous_data",
+                model="msha", epochs: int = 1, top_k: int = 1,
+                output: str = "explain.json", batch_size: int = 1024,
+                seed: int = 42):
+    """Train briefly, record attention, map indices to recipient names, dump
+    JSON (the reference's commented-out npz + FindingTopK flow end to end)."""
+    import os
+
+    from .training import Trainer, TrainState, msha_task
+    from .data import train_test_split_records
+
+    fg = load_flow_graph(year, data_dir)
+    flags = dict(use_intra=True, joint_softmax=True, use_out_att=True)
+    if model == "ablation3":
+        flags["use_intra"] = False
+    task, variables, net = msha_task(fg, in_features=32, out_features=16,
+                                     seed=seed, **flags)
+    src = np.asarray(fg.edge_src)
+    dst = np.asarray(fg.edge_dst)
+    state = TrainState.create(variables, task.tx)
+    trainer = Trainer(task=task, src=src, labels=dst, batch_size=batch_size,
+                      seed=seed)
+    ids, _ = train_test_split_records(fg.num_records, 0.9, seed)
+    key = jax.random.key(seed)
+    for ep in range(epochs):
+        state, _, key = trainer.train_epoch(state, ids, key, ep)
+
+    # Record: one forward with record=True (att_inter is batch-independent)
+    inter_mask = fg.inter.to_dense() > 0
+    logp, auxes = net.apply(
+        state.variables, inter_mask, fg.city, fg.province,
+        jnp.zeros((1,), jnp.int32), train=False, record=True,
+    )
+    att_inter = np.asarray(auxes[0]["att_inter"])  # head 0, as the reference
+    art = extract_attention(att_inter, fg.city, fg.province, top_k=top_k)
+
+    _, _, recipient_index = load_index_match(
+        os.path.join(data_dir, f"Adjacent{year}.json")
+    )
+    idx_to_name = {v: k for k, v in recipient_index.items()}
+    data = {
+        "InterAttS": {
+            str(i): [idx_to_name[int(j)] for j in art["inter_src_top"][i]]
+            for i in range(att_inter.shape[0])
+        },
+        "InterAttR": {
+            idx_to_name[j]: [int(s) for s in art["inter_rec_top"][j]]
+            for j in range(att_inter.shape[1])
+        },
+        "CityAtt": {str(i): m for i, m in enumerate(art["city_members"])},
+        "ProvinceAtt": {str(i): m for i, m in enumerate(art["province_members"])},
+    }
+    with open(output, "w") as f:
+        json.dump(data, f)
+    return output

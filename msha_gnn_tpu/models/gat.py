@@ -1,0 +1,193 @@
+"""GAT layers and models.
+
+Two implementations behind one family:
+
+* :class:`MaskedGATLayer` / :class:`GAT` — exact reference semantics
+  (``GAT.py:6-58``; identical copies at ``LLP.py:117-168``,
+  ``train.py:121-150``, ``Ours.py:112-141``, ``Ablation.py:86-115``): the
+  attention logit concatenates each row's projection *with itself*
+  (``[h_i || h_i] . a``), giving a per-row scalar, and the "aggregation" is
+  the elementwise product ``attention * h`` — valid only when
+  ``out_features == n_dst`` so h is an (N, M) score matrix masked by the
+  bipartite adjacency.  Kept as the parity model for the flow dataset
+  (M = 32, dense is MXU-cheap).
+
+* :class:`SparseGATLayer` / :class:`SparseGAT` — the production TPU path:
+  proper GAT logits ``[h_i || h_j] . a`` over a CSR edge list, segment
+  softmax per source row, SpMM aggregation.  Scales to OGBL-DDI-size graphs
+  where a dense (N, N) attention matrix cannot exist.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..graph import BipartiteGraph
+from ..ops import (
+    edge_softmax,
+    masked_row_softmax,
+    self_concat_logits,
+    spmm,
+)
+from .common import XAVIER_GAIN, elu, gdp_feature_init, xavier_uniform
+
+Array = jax.Array
+
+
+class MaskedGATLayer(nn.Module):
+    """Reference ``GraphAttentionLayer`` (``GAT.py:6-35``).
+
+    ``h = x @ W``; per-row scalar logit ``leaky_relu([h_i || h_i] . a)``;
+    mask where ``adj == 0`` with -9e15; row softmax; dropout; ``att * h``;
+    elu.  The self-concat makes post-softmax attention uniform over each
+    row's unmasked entries — true reference behaviour, preserved.
+    """
+
+    in_features: int
+    out_features: int
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: Array, adj_mask: Array, *, train: bool) -> Array:
+        w = self.param("W", xavier_uniform(), (self.in_features, self.out_features))
+        a = self.param("a", xavier_uniform(), (2 * self.out_features, 1))
+        h = x @ w  # [N, out]
+        row_logit = self_concat_logits(h, a)  # [N]
+        att = masked_row_softmax(
+            jnp.broadcast_to(row_logit[:, None], h.shape), adj_mask
+        )
+        att = nn.Dropout(self.dropout, deterministic=not train)(att)
+        return elu(att * h)
+
+
+class GAT(nn.Module):
+    """Reference 2-stage multi-head GAT (``GAT.py:38-58``).
+
+    ``n_heads`` parallel layers concat along features, dropout, then an
+    output layer over the concat, elu, log_softmax.  When
+    ``learn_features`` the node features are a learnable parameter with the
+    GDP scalar in the last column (``GAT.py:41-42``); otherwise features are
+    passed in (the LLP teacher variant, ``LLP.py:163-168``).
+
+    Note the reference's out-layer is declared ``(n_features * n_heads,
+    n_classes)`` (``GAT.py:51``) while its input is the concat of head
+    outputs, ``(N, n_classes * n_heads)`` — it only runs when
+    ``n_features == n_classes``.  We declare the true input dim.
+    """
+
+    n_features: int
+    n_classes: int
+    n_heads: int = 2
+    dropout: float = 0.5
+    gdp: Optional[Array] = None  # [N] -> learnable features when set
+
+    @nn.compact
+    def __call__(
+        self, adj_mask: Array, x: Optional[Array] = None, *, train: bool
+    ) -> Array:
+        if x is None:
+            assert self.gdp is not None
+            x = self.param(
+                "features",
+                gdp_feature_init(self.gdp, self.n_features),
+                (self.gdp.shape[0], self.n_features),
+            )
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        heads = [
+            MaskedGATLayer(self.n_features, self.n_classes, self.dropout,
+                           name=f"attention_{i}")(x, adj_mask, train=train)
+            for i in range(self.n_heads)
+        ]
+        x = jnp.concatenate(heads, axis=1)  # [N, n_classes * n_heads]
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = elu(
+            MaskedGATLayer(
+                self.n_classes * self.n_heads, self.n_classes, self.dropout,
+                name="out_att",
+            )(x, adj_mask, train=train)
+        )
+        return jax.nn.log_softmax(x, axis=1)
+
+
+class SparseGATLayer(nn.Module):
+    """Production GAT over a CSR edge list (TPU-native path).
+
+    Proper pairwise logits ``leaky_relu(a_src . h_i + a_dst . h_j)``
+    (standard GAT; the reference's self-concat variant is available with
+    ``self_concat=True`` for parity-mode experiments), segment softmax over
+    each source row, attention-weighted SpMM aggregation of destination
+    features.
+    """
+
+    in_features: int
+    out_features: int
+    dropout: float = 0.5
+    self_concat: bool = False
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: BipartiteGraph,
+        x_src: Array,
+        x_dst: Array,
+        *,
+        train: bool,
+        impl: str = "xla",
+    ) -> Array:
+        w = self.param("W", xavier_uniform(), (self.in_features, self.out_features))
+        a = self.param("a", xavier_uniform(), (2 * self.out_features, 1))
+        h_src = x_src @ w
+        h_dst = x_dst @ w
+        d = self.out_features
+        av = a.reshape(2 * d)
+        if self.self_concat:
+            s_src = h_src @ (av[:d] + av[d:])
+            s_dst = jnp.zeros((graph.n_dst,), h_src.dtype)
+        else:
+            s_src = h_src @ av[:d]
+            s_dst = h_dst @ av[d:]
+        # per-edge logits + row softmax
+        from ..ops.sparse import sddmm
+
+        logits = sddmm(graph, s_src, s_dst, negative_slope=self.negative_slope,
+                       impl=impl)
+        att = edge_softmax(graph, logits)
+        att = nn.Dropout(self.dropout, deterministic=not train)(att)
+        return elu(spmm(graph, h_dst, edge_weight=att, impl=impl))
+
+
+class SparseGAT(nn.Module):
+    """Multi-head sparse GAT encoder: heads concat -> out layer -> embeddings.
+
+    The scale path for link prediction (OGBL-DDI config): returns node
+    embeddings; pair scoring is done by
+    :class:`~msha_gnn_tpu.models.mlp.LinkPredictor`.
+    """
+
+    in_features: int
+    hidden: int
+    out_features: int
+    n_heads: int = 2
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self, graph: BipartiteGraph, x: Array, *, train: bool, impl: str = "xla"
+    ) -> Array:
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        heads = [
+            SparseGATLayer(self.in_features, self.hidden, self.dropout,
+                           name=f"attention_{i}")(graph, x, x, train=train, impl=impl)
+            for i in range(self.n_heads)
+        ]
+        h = jnp.concatenate(heads, axis=1)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return SparseGATLayer(
+            self.hidden * self.n_heads, self.out_features, self.dropout,
+            name="out_att",
+        )(graph, h, h, train=train, impl=impl)

@@ -1,0 +1,82 @@
+"""End-to-end training smoke tests: every model family preset trains on a
+small synthetic flow graph and the loss decreases (golden-run foundation,
+SURVEY §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from msha_gnn_tpu.graph import BipartiteGraph, FlowGraph, Grouping
+from msha_gnn_tpu.training import (
+    Trainer,
+    TrainState,
+    gat_task,
+    gcn_task,
+    msha_task,
+    sage_task,
+)
+
+
+def make_tiny_flow(rng, n=60, m=5, records=400):
+    """Synthetic flow graph with learnable structure: the recipient of each
+    record correlates with the source's province."""
+    prov = rng.integers(0, 4, n)
+    city = rng.integers(0, 8, n)
+    src = rng.integers(0, n, records).astype(np.int32)
+    dst = ((prov[src] + rng.integers(0, 2, records)) % m).astype(np.int32)
+    inter = BipartiteGraph.from_coo(
+        src, dst, np.ones(records, np.float32), n_src=n, n_dst=m,
+        pad_to_multiple=32,
+    )
+    fg = FlowGraph(
+        inter=inter,
+        city=Grouping.from_ids(city),
+        province=Grouping.from_ids(prov),
+        gdp=jnp.asarray(rng.random(n).astype(np.float32)),
+        edge_src=jnp.asarray(src),
+        edge_dst=jnp.asarray(dst),
+    )
+    return fg, src, dst
+
+
+@pytest.mark.parametrize(
+    "builder,kwargs",
+    [
+        (msha_task, dict(in_features=16, out_features=8, use_intra=True)),
+        (msha_task, dict(in_features=16, out_features=8, use_intra=False)),
+        (gat_task, {}),
+        (gcn_task, dict(nfeat=8)),
+        (sage_task, dict(in_features=8)),
+    ],
+    ids=["msha", "ablation3", "gat", "gcn", "sage"],
+)
+def test_model_trains_and_loss_decreases(rng, builder, kwargs):
+    fg, src, dst = make_tiny_flow(rng)
+    task, variables, _ = builder(fg, lr=0.01, **kwargs)
+    state = TrainState.create(variables, task.tx)
+    trainer = Trainer(task=task, src=src, labels=dst, batch_size=64, seed=0)
+    ids = np.arange(len(src))
+    train_ids, test_ids = ids[:320], ids[320:]
+    state, first_loss, key = trainer.train_epoch(state, train_ids, jax.random.key(0), 0)
+    for ep in range(1, 4):
+        state, loss, key = trainer.train_epoch(state, train_ids, key, ep)
+    assert np.isfinite(loss)
+    assert loss < first_loss, f"loss did not decrease: {first_loss} -> {loss}"
+    report = trainer.evaluate(state, test_ids)
+    assert np.isfinite(report["loss"])
+    assert 0.0 <= report["accuracy"] <= 1.0
+    assert 0.0 <= report["auc"] <= 1.0
+
+
+def test_trainer_padding_last_batch(rng):
+    """Record count not divisible by batch size -> padded batch masked out."""
+    fg, src, dst = make_tiny_flow(rng, records=130)
+    task, variables, _ = msha_task(fg, in_features=8, out_features=4, lr=0.01)
+    state = TrainState.create(variables, task.tx)
+    trainer = Trainer(task=task, src=src, labels=dst, batch_size=64, seed=0)
+    ids = np.arange(130)
+    state, loss, _ = trainer.train_epoch(state, ids, jax.random.key(0), 0)
+    assert np.isfinite(loss)
+    rep = trainer.evaluate(state, ids)
+    assert np.isfinite(rep["loss"])
