@@ -98,14 +98,29 @@ class BipartiteGraph:
         senders = np.asarray(senders, np.int64)
         receivers = np.asarray(receivers, np.int64)
         weight = np.asarray(weight, np.float32)
+        row_ptr = None
         if combine_duplicates and senders.size:
-            key = senders * n_dst + receivers
-            uniq, inv = np.unique(key, return_inverse=True)
-            w = np.zeros(uniq.shape[0], np.float32)
-            np.add.at(w, inv, weight)
-            senders, receivers, weight = uniq // n_dst, uniq % n_dst, w
-        order = np.lexsort((receivers, senders))
-        senders, receivers, weight = senders[order], receivers[order], weight[order]
+            try:
+                # native linear-time counting-sort CSR build (C++,
+                # native/graphbuild.cpp); numpy O(E log E) fallback below
+                from .data import _native
+
+                senders, receivers, weight, row_ptr = _native.build_csr(
+                    senders, receivers, weight, int(n_src), int(n_dst)
+                )
+                senders = senders.astype(np.int64)
+                receivers = receivers.astype(np.int64)
+            except Exception:
+                key = senders * n_dst + receivers
+                uniq, inv = np.unique(key, return_inverse=True)
+                w = np.zeros(uniq.shape[0], np.float32)
+                np.add.at(w, inv, weight)
+                senders, receivers, weight = uniq // n_dst, uniq % n_dst, w
+        if row_ptr is None:
+            order = np.lexsort((receivers, senders))
+            senders, receivers, weight = (
+                senders[order], receivers[order], weight[order]
+            )
 
         e = senders.shape[0]
         e_pad = max(_round_up(max(e, 1), pad_to_multiple), pad_to_multiple)
@@ -114,9 +129,10 @@ class BipartiteGraph:
         w = np.zeros(e_pad, np.float32)
         s[:e], r[:e], w[:e] = senders, receivers, weight
 
-        row_ptr = np.zeros(n_src + 1, np.int32)
-        np.add.at(row_ptr[1:], senders, 1)
-        row_ptr = np.cumsum(row_ptr).astype(np.int32)
+        if row_ptr is None:
+            row_ptr = np.zeros(n_src + 1, np.int32)
+            np.add.at(row_ptr[1:], senders, 1)
+            row_ptr = np.cumsum(row_ptr).astype(np.int32)
 
         return BipartiteGraph(
             senders=jnp.asarray(s),

@@ -1,0 +1,460 @@
+"""Pallas TPU SpMM: sorted-segment reduction via one-hot MXU matmuls.
+
+Where the time goes (measured on v5e, 2M edges, d=128, fp32):
+
+* random row gather ``x[receivers]`` — XLA's hardware gather path reaches
+  ~46% of HBM peak (5.4 ms); a hand-rolled per-edge DMA or one-hot gather
+  over HBM-resident tables is strictly worse, so the gather stays on XLA.
+* the sorted segment reduction — XLA lowers it to scatter-add at ~19.6 ms.
+  **This kernel replaces it**: edges are CSR-sorted, so each 128-row output
+  block owns a contiguous edge range; the kernel streams that range in
+  chunks (double-buffered DMA from HBM) and reduces each chunk with one
+  MXU matmul ``onehot(rows x chunk) @ values(chunk x d)``.  The one-hot is
+  built on the VPU from a broadcasted iota compare — scatter becomes
+  matmul, which is what the MXU is for.
+
+Sortedness makes over-reads at chunk boundaries self-masking: an edge
+belonging to a different row block produces a local row id outside
+[0, 128) and a zero one-hot column, so no explicit masking is needed.
+
+Cost: 2 * 128 * d FLOP per edge (33 KFLOP at d=128) -> ~1.7 ms MXU time for
+2M edges at 40 TF/s fp32, overlapped with ~1.3 ms of HBM streaming.
+
+Replaces the reference's dense aggregation matmuls (``train.py:112-114``,
+``model.py:37``) at graph scale.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...graph import BipartiteGraph
+
+Array = jax.Array
+
+ROW_BLK = 128
+E_CHUNK = 1024
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _reduce_kernel(
+    # scalar prefetch
+    chunk_start_ref,  # [G] first E_CHUNK-aligned chunk index of block's range
+    chunk_cnt_ref,    # [G] number of chunks in block's range
+    # inputs (HBM)
+    values_ref,       # [E_total, d]
+    senders_ref,      # [1, E_total] int32
+    # output (VMEM block)
+    out_ref,          # [ROW_BLK, d]
+    # scratch
+    vals_vmem,        # [2, E_CHUNK, d]
+    send_vmem,        # [2, 1, E_CHUNK]
+    acc_ref,          # [ROW_BLK, d] f32
+    sems,             # DMA sems [2, 2]
+):
+    i = pl.program_id(0)
+    c0 = chunk_start_ref[i]
+    cnt = chunk_cnt_ref[i]
+    row0 = i * ROW_BLK
+
+    def copies(slot, c):
+        e0 = pl.multiple_of((c0 + c) * E_CHUNK, E_CHUNK)
+        v = pltpu.make_async_copy(
+            values_ref.at[pl.ds(e0, E_CHUNK), :], vals_vmem.at[slot],
+            sems.at[slot, 0],
+        )
+        s = pltpu.make_async_copy(
+            senders_ref.at[:, pl.ds(e0, E_CHUNK)], send_vmem.at[slot],
+            sems.at[slot, 1],
+        )
+        return v, s
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(cnt > 0)
+    def _():
+        for dma in copies(0, 0):
+            dma.start()
+
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+            next_slot = jax.lax.rem(c + 1, 2)
+
+            @pl.when(c + 1 < cnt)
+            def _():
+                for dma in copies(next_slot, c + 1):
+                    dma.start()
+
+            for dma in copies(slot, c):
+                dma.wait()
+
+            local = send_vmem[slot] - row0  # [1, E_CHUNK]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLK, E_CHUNK), 0)
+            # 0/1 one-hot is exact in bf16; split the fp32 values into
+            # hi + lo bf16 halves so two bf16 MXU passes give ~fp32 results
+            # (raw bf16 truncation costs ~2^-8 relative error).
+            onehot = (rows == local).astype(jnp.bfloat16)
+            v = vals_vmem[slot]
+            hi = v.astype(jnp.bfloat16)
+            lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc_ref[:] += jnp.dot(
+                onehot, hi, preferred_element_type=jnp.float32
+            ) + jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, cnt, body, 0)
+
+    out_ref[:] = acc_ref[:]
+
+
+@partial(jax.jit, static_argnames=("n_src", "interpret"))
+def segment_reduce_sorted(
+    values: Array,       # [E_pad, d] edge values, rows sorted by segment id
+    senders: Array,      # [E_pad] int32 sorted segment ids (pad >= n_src)
+    row_ptr: Array,      # [n_src + 1] CSR offsets
+    *,
+    n_src: int,
+    interpret: bool = False,
+) -> Array:
+    """Pallas sorted segment-sum: ``out[s] = sum_{e: senders[e]==s} values[e]``.
+
+    Contract identical to ``ops.segment.segment_sum`` on sorted ids.
+    """
+    e_pad, d = values.shape
+    d_pad = _round_up(d, LANE)
+    n_pad = _round_up(max(n_src, ROW_BLK), ROW_BLK)
+    # slack so every aligned chunk window is in bounds
+    e_total = _round_up(e_pad, E_CHUNK) + E_CHUNK
+
+    if d_pad != d:
+        values = jnp.pad(values, ((0, 0), (0, d_pad - d)))
+    values = jnp.pad(values, ((0, e_total - e_pad), (0, 0)))
+    senders_p = jnp.pad(
+        senders.astype(jnp.int32), (0, e_total - e_pad),
+        constant_values=np.int32(n_pad),
+    ).reshape(1, e_total)
+
+    grid = n_pad // ROW_BLK
+    block_rows = jnp.arange(grid, dtype=jnp.int32) * ROW_BLK
+    e_start = row_ptr[jnp.minimum(block_rows, n_src)]
+    e_end = row_ptr[jnp.minimum(block_rows + ROW_BLK, n_src)]
+    chunk_start = (e_start // E_CHUNK).astype(jnp.int32)
+    chunk_cnt = jnp.where(
+        e_end > e_start, (e_end - 1) // E_CHUNK - chunk_start + 1, 0
+    ).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        _reduce_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (ROW_BLK, d_pad), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, E_CHUNK, d_pad), jnp.float32),
+                pltpu.VMEM((2, 1, E_CHUNK), jnp.int32),
+                pltpu.VMEM((ROW_BLK, d_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_total * ROW_BLK * d_pad,
+            bytes_accessed=e_total * (4 * d_pad + 4) + n_pad * d_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(chunk_start, chunk_cnt, values, senders_p)
+    return out[:n_src, :d]
+
+
+def _interpret_default() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _gather_rows(x, idx, n):
+    out = jnp.take(x, jnp.minimum(idx, n - 1), axis=0)
+    return jnp.where((idx < n)[:, None], out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Aligned fast path: chunk-aligned edge layout + Mosaic-pipelined reduction.
+#
+# ``segment_reduce_sorted`` above hides DMA latency only within one row
+# block; with ~2 chunks per block the first chunk's latency is always
+# exposed (~5-10 us/block).  The aligned layout instead pads every row
+# block's edge range to a whole number of E_CHUNK chunks (host-side, once
+# per graph) so the kernel becomes a plain blocked pallas_call: Mosaic
+# prefetches input chunks arbitrarily deep, and consecutive chunks mapping
+# to the same output block accumulate in VMEM without flushing (the output
+# block is only written when the scalar-prefetched block id changes).
+# Padding overhead: < E_CHUNK edges per row block (~26% at 2M edges/1024
+# blocks), traded for fully-hidden DMA latency.
+# ---------------------------------------------------------------------------
+
+
+def _aligned_reduce_kernel(block_id_ref, first_ref, senders_ref, vals_ref,
+                           out_ref):
+    k = pl.program_id(0)
+
+    @pl.when(first_ref[k] != 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    row0 = block_id_ref[k] * ROW_BLK
+    local = senders_ref[:] - row0  # [1, E_CHUNK]
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (ROW_BLK, senders_ref.shape[1]), 0
+    )
+    onehot = (rows == local).astype(jnp.bfloat16)
+    v = vals_ref[:]
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out_ref[:] += jnp.dot(
+        onehot, hi, preferred_element_type=jnp.float32
+    ) + jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
+
+
+def _aligned_layout(senders_np, row_ptr_np, n_src, e_pad):
+    """Host-side: chunk-aligned edge permutation.
+
+    Returns (slot_to_edge [E_al] int32 with sentinel e_pad for padding,
+    senders_aligned [E_al], block_id [C], first [C]) where C = E_al/E_CHUNK.
+    Every row block (ROW_BLK rows) gets at least one chunk.
+    """
+    n_pad = _round_up(max(n_src, ROW_BLK), ROW_BLK)
+    blocks = n_pad // ROW_BLK
+    slots, block_ids, firsts = [], [], []
+    for b in range(blocks):
+        lo = int(row_ptr_np[min(b * ROW_BLK, n_src)])
+        hi = int(row_ptr_np[min((b + 1) * ROW_BLK, n_src)])
+        cnt = hi - lo
+        n_chunks = max(1, -(-cnt // E_CHUNK))
+        idx = np.full(n_chunks * E_CHUNK, e_pad, np.int64)
+        idx[:cnt] = np.arange(lo, hi)
+        slots.append(idx)
+        block_ids.extend([b] * n_chunks)
+        firsts.extend([1] + [0] * (n_chunks - 1))
+    slot_to_edge = np.concatenate(slots).astype(np.int32)
+    senders_al = np.where(
+        slot_to_edge < e_pad,
+        np.concatenate([senders_np, [n_pad]])[
+            np.minimum(slot_to_edge, e_pad)
+        ],
+        n_pad,
+    ).astype(np.int32)
+    return (
+        slot_to_edge,
+        senders_al,
+        np.asarray(block_ids, np.int32),
+        np.asarray(firsts, np.int32),
+    )
+
+
+def _aligned_reduce(vals_al, senders_al, block_id, first, n_src,
+                    interpret: bool):
+    """vals_al: [E_al, d_pad] chunk-aligned edge values."""
+    e_al, d_pad = vals_al.shape
+    n_pad = _round_up(max(n_src, ROW_BLK), ROW_BLK)
+    n_chunks = e_al // E_CHUNK
+    out = pl.pallas_call(
+        _aligned_reduce_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, E_CHUNK), lambda k, *_: (0, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E_CHUNK, d_pad), lambda k, *_: (k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (ROW_BLK, d_pad), lambda k, bid, first: (bid[k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_al * ROW_BLK * d_pad,
+            bytes_accessed=e_al * (4 * d_pad + 4) + n_pad * d_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(block_id, first, senders_al.reshape(1, e_al), vals_al)
+    return out[:n_src]
+
+
+
+@dataclasses.dataclass(frozen=True)
+class _Direction:
+    """Precomputed chunk-aligned layout for one SpMM direction."""
+
+    recv_al: Array      # [E_al] int32 gather index into x (pad -> n_cols)
+    send_al: Array      # [E_al] int32 output row (pad -> n_rows_pad)
+    slot_to_edge: Array  # [E_al] int32 CSR edge index (pad -> e_pad)
+    block_id: Array     # [C] int32
+    first: Array        # [C] int32
+    n_rows: int
+    n_cols: int
+    e_pad: int
+
+
+def _make_direction(senders_np, receivers_np, row_ptr_np, n_rows, n_cols,
+                    edge_to_csr_np) -> _Direction:
+    e_pad = len(senders_np)
+    slot_to_edge, senders_al, block_id, first = _aligned_layout(
+        senders_np, row_ptr_np, n_rows, e_pad
+    )
+    recv_ext = np.concatenate([receivers_np, [n_cols]]).astype(np.int64)
+    recv_al = recv_ext[np.minimum(slot_to_edge, e_pad)].astype(np.int32)
+    # map aligned slot -> CSR edge id (for runtime edge_weight reordering)
+    csr_ext = np.concatenate([edge_to_csr_np, [e_pad]]).astype(np.int64)
+    slot_to_csr = csr_ext[np.minimum(slot_to_edge, e_pad)].astype(np.int32)
+    return _Direction(
+        recv_al=jnp.asarray(recv_al),
+        send_al=jnp.asarray(senders_al),
+        slot_to_edge=jnp.asarray(slot_to_csr),
+        block_id=jnp.asarray(block_id),
+        first=jnp.asarray(first),
+        n_rows=int(n_rows),
+        n_cols=int(n_cols),
+        e_pad=int(e_pad),
+    )
+
+
+def _direction_apply(d: _Direction, x, w_csr, interpret: bool):
+    """A_dir @ x with CSR-ordered edge weights ``w_csr`` ([e_pad])."""
+    # reorder weights into the aligned layout (pad slots -> weight 0)
+    w_ext = jnp.concatenate([w_csr, jnp.zeros((1,), w_csr.dtype)])
+    w_al = w_ext[jnp.minimum(d.slot_to_edge, d.e_pad)]
+    d_feat = x.shape[1]
+    d_pad = _round_up(d_feat, LANE)
+    gathered = _gather_rows(x, d.recv_al, d.n_cols) * w_al[:, None]
+    if d_pad != d_feat:
+        gathered = jnp.pad(gathered, ((0, 0), (0, d_pad - d_feat)))
+    out = _aligned_reduce(
+        gathered, d.send_al, d.block_id, d.first, d.n_rows, interpret
+    )
+    return out[:, :d_feat]
+
+
+class SpmmOperator:
+    """Differentiable Pallas SpMM bound to one graph.
+
+    Precomputes (host-side, once) chunk-aligned edge layouts for both the
+    CSR (A @ x) and CSC (A.T @ x) directions; forward and backward both run
+    the aligned Pallas reduction.  ``edge_weight`` overrides (e.g. attention
+    coefficients) are given in the graph's CSR edge order, as produced by
+    ``ops.sparse.edge_softmax``.
+    """
+
+    def __init__(self, graph: BipartiteGraph, interpret: Optional[bool] = None):
+        self.graph = graph
+        self.interpret = (
+            _interpret_default() if interpret is None else interpret
+        )
+        e = graph.num_edges
+        e_pad = graph.num_padded_edges
+        s = np.asarray(graph.senders)
+        r = np.asarray(graph.receivers)
+        ptr = np.asarray(graph.row_ptr)
+
+        self.fwd_dir = _make_direction(
+            s, r, ptr, graph.n_src, graph.n_dst,
+            np.arange(e_pad, dtype=np.int64),
+        )
+        # CSC: sort edges by receiver
+        order = np.lexsort((s[:e], r[:e]))
+        csc_s = np.full(e_pad, graph.n_dst, np.int32)
+        csc_r = np.full(e_pad, graph.n_src, np.int32)
+        csc_s[:e] = r[order]
+        csc_r[:e] = s[order]
+        csc_to_csr = np.concatenate(
+            [order, np.full(e_pad - e, e_pad)]
+        ).astype(np.int64)
+        csc_ptr = np.zeros(graph.n_dst + 1, np.int64)
+        np.add.at(csc_ptr[1:], csc_s[:e].astype(np.int64), 1)
+        csc_ptr = np.cumsum(csc_ptr)
+        self.bwd_dir = _make_direction(
+            csc_s, csc_r, csc_ptr, graph.n_dst, graph.n_src, csc_to_csr
+        )
+
+        fwd_dir, bwd_dir, interp = self.fwd_dir, self.bwd_dir, self.interpret
+
+        @jax.custom_vjp
+        def apply_fn(x, w):
+            return _direction_apply(fwd_dir, x, w, interp)
+
+        def apply_fwd(x, w):
+            return apply_fn(x, w), (x, w)
+
+        def apply_bwd(res, g):
+            x, w = res
+            dx = _direction_apply(bwd_dir, g, w, interp)
+            # dw[e] = <g[send[e]], x[recv[e]]> in CSR edge order
+            gs = _gather_rows(g, self.graph.senders, self.graph.n_src)
+            xr = _gather_rows(x, self.graph.receivers, self.graph.n_dst)
+            dw = jnp.sum(gs * xr, axis=-1)
+            return dx, dw
+
+        apply_fn.defvjp(apply_fwd, apply_bwd)
+        self._apply = apply_fn
+
+        @jax.custom_vjp
+        def apply_t_fn(x, w):
+            return _direction_apply(bwd_dir, x, w, interp)
+
+        def apply_t_fwd(x, w):
+            return apply_t_fn(x, w), (x, w)
+
+        def apply_t_bwd(res, g):
+            x, w = res
+            dx = _direction_apply(fwd_dir, g, w, interp)
+            gs = _gather_rows(g, self.graph.receivers, self.graph.n_dst)
+            xs = _gather_rows(x, self.graph.senders, self.graph.n_src)
+            dw = jnp.sum(gs * xs, axis=-1)
+            return dx, dw
+
+        apply_t_fn.defvjp(apply_t_fwd, apply_t_bwd)
+        self._apply_t = apply_t_fn
+
+    @staticmethod
+    def build(graph: BipartiteGraph, interpret: Optional[bool] = None):
+        return SpmmOperator(graph, interpret)
+
+    def __call__(self, x: Array, *, edge_weight: Optional[Array] = None,
+                 transpose: bool = False) -> Array:
+        w = edge_weight if edge_weight is not None else self.graph.weight
+        return self._apply_t(x, w) if transpose else self._apply(x, w)
+
+
+def spmm_pallas(
+    graph: BipartiteGraph,
+    x: Array,
+    *,
+    edge_weight: Optional[Array] = None,
+    transpose: bool = False,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """One-shot convenience wrapper (builds the operator each call — prefer
+    :class:`SpmmOperator` in training loops)."""
+    op = SpmmOperator.build(graph, interpret=interpret)
+    return op(x, edge_weight=edge_weight, transpose=transpose)
