@@ -108,6 +108,34 @@ def cmd_llp(args) -> int:
     return 0
 
 
+def cmd_sgae(args) -> int:
+    from .training.sgae import run_sgae
+    from .utils import JsonlLogger, SGAEConfig
+
+    cfg = _config_from_args(SGAEConfig, args)
+    result = run_sgae(cfg, log=JsonlLogger(cfg.log_path))
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_linkpred(args) -> int:
+    from .data.ogb import load_ddi, split_edges
+    from .training.link_prediction import LinkPredConfig, run_link_prediction
+    from .utils import JsonlLogger
+
+    data = load_ddi(root=args.ogb_root, seed=args.seed)
+    split = split_edges(data, seed=args.seed)
+    cfg = LinkPredConfig(
+        hidden=args.hidden, n_heads=args.n_heads, dropout=args.dropout,
+        lr=args.lr, epochs=args.epochs, batch_size=args.batch_size,
+        neighbor_fanout=args.neighbor_fanout, use_kd=bool(args.use_kd),
+        seed=args.seed, impl=args.impl,
+    )
+    result = run_link_prediction(split, cfg, log=JsonlLogger(args.log_path))
+    print(json.dumps(result))
+    return 0
+
+
 def cmd_explain(args) -> int:
     from .explain import run_explain
 
@@ -139,6 +167,28 @@ def main(argv=None) -> int:
     p_llp = sub.add_parser("llp", help="KD link prediction")
     _add_dataclass_args(p_llp, LLPConfig)
     p_llp.set_defaults(fn=cmd_llp)
+
+    from .utils import SGAEConfig
+
+    p_sgae = sub.add_parser("sgae", help="autoencoder pretrain + fine-tune")
+    _add_dataclass_args(p_sgae, SGAEConfig)
+    p_sgae.set_defaults(fn=cmd_sgae)
+
+    p_lp = sub.add_parser("linkpred",
+                          help="OGBL-DDI-style link prediction at scale")
+    p_lp.add_argument("--ogb_root", default=None)
+    p_lp.add_argument("--hidden", type=int, default=64)
+    p_lp.add_argument("--n_heads", type=int, default=2)
+    p_lp.add_argument("--dropout", type=float, default=0.5)
+    p_lp.add_argument("--lr", type=float, default=5e-3)
+    p_lp.add_argument("--epochs", type=int, default=10)
+    p_lp.add_argument("--batch_size", type=int, default=4096)
+    p_lp.add_argument("--neighbor_fanout", type=int, default=0)
+    p_lp.add_argument("--use_kd", type=int, default=0)
+    p_lp.add_argument("--seed", type=int, default=42)
+    p_lp.add_argument("--impl", default="auto")
+    p_lp.add_argument("--log_path", default=None)
+    p_lp.set_defaults(fn=cmd_linkpred)
 
     p_exp = sub.add_parser("explain", help="attention top-K extraction")
     p_exp.add_argument("--year", default="2015")

@@ -151,11 +151,12 @@ class SparseGATLayer(nn.Module):
         else:
             s_src = h_src @ av[:d]
             s_dst = h_dst @ av[d:]
-        # per-edge logits + row softmax
+        # Per-edge rank-1 logits + row softmax.  The scalar-gather SDDMM is
+        # always XLA (memory-trivial; the Pallas SDDMM targets vector dots),
+        # ``impl`` selects the aggregation path below.
         from ..ops.sparse import sddmm
 
-        logits = sddmm(graph, s_src, s_dst, negative_slope=self.negative_slope,
-                       impl=impl)
+        logits = sddmm(graph, s_src, s_dst, negative_slope=self.negative_slope)
         att = edge_softmax(graph, logits)
         att = nn.Dropout(self.dropout, deterministic=not train)(att)
         return elu(spmm(graph, h_dst, edge_weight=att, impl=impl))

@@ -446,6 +446,11 @@ class SpmmOperator:
         return self._apply_t(x, w) if transpose else self._apply(x, w)
 
 
+# Operators are cached per graph identity so repeated layer calls under one
+# trace (multi-head models) share the host-side aligned layout.
+_OP_CACHE: dict = {}
+
+
 def spmm_pallas(
     graph: BipartiteGraph,
     x: Array,
@@ -454,7 +459,12 @@ def spmm_pallas(
     transpose: bool = False,
     interpret: Optional[bool] = None,
 ) -> Array:
-    """One-shot convenience wrapper (builds the operator each call — prefer
-    :class:`SpmmOperator` in training loops)."""
-    op = SpmmOperator.build(graph, interpret=interpret)
+    """Convenience wrapper around a cached :class:`SpmmOperator`."""
+    key = (id(graph.senders), interpret)
+    op = _OP_CACHE.get(key)
+    if op is None or op.graph.senders is not graph.senders:
+        op = SpmmOperator.build(graph, interpret=interpret)
+        _OP_CACHE[key] = op
+        if len(_OP_CACHE) > 16:
+            _OP_CACHE.pop(next(iter(_OP_CACHE)))
     return op(x, edge_weight=edge_weight, transpose=transpose)

@@ -26,12 +26,15 @@ def _manager(directory: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
 def save_checkpoint(directory: str, state: TrainState, step: int,
                     extra: Optional[dict] = None) -> None:
     mgr = _manager(directory)
-    payload = {"state": state}
-    if extra:
-        payload["extra"] = extra
-    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.save(step, args=ocp.args.StandardSave({"state": state}))
     mgr.wait_until_finished()
     mgr.close()
+    if extra is not None:
+        import json
+
+        with open(os.path.join(os.path.abspath(directory),
+                               f"extra_{step}.json"), "w") as f:
+            json.dump(extra, f)
 
 
 def restore_checkpoint(directory: str, template_state: TrainState,
@@ -45,7 +48,14 @@ def restore_checkpoint(directory: str, template_state: TrainState,
     target = {"state": template_state}
     restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
     mgr.close()
-    return restored["state"], restored.get("extra"), step
+    extra = None
+    extra_path = os.path.join(os.path.abspath(directory), f"extra_{step}.json")
+    if os.path.exists(extra_path):
+        import json
+
+        with open(extra_path) as f:
+            extra = json.load(f)
+    return restored["state"], extra, step
 
 
 def latest_step(directory: str) -> Optional[int]:

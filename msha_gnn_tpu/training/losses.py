@@ -32,11 +32,19 @@ def bce_loss(scores: Array, targets: Array, eps: float = 1e-7) -> Array:
 
 def kd_cosine(student: Array, teacher: Array, eps: float = 1e-8) -> Array:
     """``1 - mean(cosine_similarity(s, t))`` with the teacher detached
-    (``LLP.py:34-35``)."""
+    (``LLP.py:34-35``).
+
+    The norms carry eps inside the sqrt: ``d|h|/dh`` at an exactly-zero row
+    (dropout + relu can produce one) is 0/0 = NaN otherwise — one NaN row
+    would poison every parameter after the first optimiser step.
+    """
     teacher = jax.lax.stop_gradient(teacher)
     num = jnp.sum(student * teacher, axis=-1)
-    den = jnp.linalg.norm(student, axis=-1) * jnp.linalg.norm(teacher, axis=-1)
-    return 1.0 - jnp.mean(num / jnp.maximum(den, eps))
+    den = jnp.sqrt(
+        (jnp.sum(student * student, axis=-1) + eps)
+        * (jnp.sum(teacher * teacher, axis=-1) + eps)
+    )
+    return 1.0 - jnp.mean(num / den)
 
 
 def mse_loss(a: Array, b: Array) -> Array:

@@ -1,0 +1,115 @@
+"""OGB-style link prediction pipeline + SGAE pretrain + samplers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from msha_gnn_tpu.data.ogb import load_ddi, split_edges, synthetic_ddi
+from msha_gnn_tpu.data.sampler import (
+    neighbor_sample_subgraph,
+    sample_negatives,
+    sample_positives_nearby,
+    sample_positives_rw,
+)
+from msha_gnn_tpu.training.link_prediction import (
+    LinkPredConfig,
+    run_link_prediction,
+)
+from tests.conftest import make_random_bipartite
+from tests.test_training import make_tiny_flow
+
+
+def _tiny_split(seed=0):
+    data = synthetic_ddi(n=200, n_edges=3000, seed=seed)
+    return split_edges(data, num_neg=500, seed=seed, pad_to_multiple=64)
+
+
+def test_synthetic_ddi_shape():
+    data = synthetic_ddi(n=300, n_edges=5000, seed=1)
+    assert data["n"] == 300
+    assert (data["src"] < data["dst"]).all()  # canonical undirected pairs
+    # no duplicates
+    key = data["src"] * 300 + data["dst"]
+    assert len(np.unique(key)) == len(key)
+
+
+def test_load_ddi_fallback(tmp_path):
+    data = load_ddi(root=str(tmp_path), n=100, n_edges=500)
+    assert data["name"].startswith("synthetic")
+
+
+def test_split_edges_disjoint():
+    split = _tiny_split()
+    tr = set(zip(*split["train_pos"]))
+    te = set(zip(*split["test_pos"]))
+    va = set(zip(*split["valid_pos"]))
+    assert not (tr & te) and not (tr & va) and not (te & va)
+    # message graph built only from train edges (both directions)
+    g = split["graph"]
+    assert g.n_src == g.n_dst == split["n"]
+
+
+def test_link_prediction_end_to_end():
+    split = _tiny_split()
+    cfg = LinkPredConfig(hidden=16, epochs=3, batch_size=256, seed=0,
+                         impl="xla")
+    result = run_link_prediction(split, cfg)
+    assert np.isfinite(result["final_train_loss"])
+    assert 0.0 <= result["hits@20"] <= 1.0
+    assert 0.3 <= result["auc"] <= 1.0  # should beat random-ish quickly
+
+
+def test_link_prediction_with_kd_and_sampling():
+    split = _tiny_split(seed=1)
+    cfg = LinkPredConfig(hidden=16, epochs=2, batch_size=256, seed=0,
+                         impl="xla", use_kd=True, neighbor_fanout=8)
+    result = run_link_prediction(split, cfg)
+    assert np.isfinite(result["final_train_loss"])
+
+
+def test_samplers(rng):
+    g, dense = make_random_bipartite(rng, 40, 40, density=0.15)
+    anchors = np.arange(40)
+    a, p = sample_positives_nearby(rng, g, anchors, rw_step=2)
+    # every sampled positive is a real neighbour
+    for s, r in zip(a, p):
+        assert dense[s, r] > 0
+    negs = sample_negatives(rng, 10, 40, ns_rate=3)
+    assert negs.shape == (30,)
+    assert (negs < 40).all()
+
+    rev = g.transpose(pad_to_multiple=16)
+    aw, pw, on_src = sample_positives_rw(rng, g, rev, anchors, hops=2,
+                                         rw_step=2)
+    assert len(aw) == len(pw)
+    assert (pw < 40).all()
+
+
+def test_neighbor_sample_subgraph(rng):
+    g, dense = make_random_bipartite(rng, 30, 30, density=0.3)
+    sub = neighbor_sample_subgraph(rng, g, np.arange(30), fanout=2,
+                                   pad_to_multiple=32)
+    assert sub.num_edges <= g.num_edges
+    s = np.asarray(sub.senders)[: sub.num_edges]
+    r = np.asarray(sub.receivers)[: sub.num_edges]
+    for i, j in zip(s, r):
+        assert dense[i, j] > 0
+    deg = np.bincount(s, minlength=30)
+    assert deg.max() <= 2
+
+
+def test_sgae_pretrain_and_finetune(rng):
+    from msha_gnn_tpu.training.sgae import pretrain_autoencoder, run_sgae
+    from msha_gnn_tpu.utils import SGAEConfig
+
+    fg, src, dst = make_tiny_flow(rng, n=50, m=5, records=300)
+    z_src, z_dst, hist = pretrain_autoencoder(fg, dim=8, epochs=3,
+                                              batch_size=64, seed=0)
+    assert z_src.shape == (50, 8) and z_dst.shape == (5, 8)
+    assert hist[-1] < hist[0]  # reconstruction improves
+
+    cfg = SGAEConfig(epochs=2, batch_size=64, in_features=8,
+                     pretrain_epochs=2)
+    result = run_sgae(cfg, fg=fg)
+    assert "finetune" in result and np.isfinite(result["finetune"]["loss"])
