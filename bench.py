@@ -2,23 +2,45 @@
 """Driver benchmark: prints ONE JSON line with the headline metric.
 
 Headline: flagship MSHA train-step throughput (records/s) on the real 2015
-flow graph, with ``vs_baseline`` = speedup over the reference's dense
-computation executed on the same chip (the reference publishes no numbers —
+flow graph at the reference's batch size (64), with ``vs_baseline`` =
+speedup over the reference's dense computation executed on the same chip
+with identical dropout work (the reference publishes no numbers —
 BASELINE.md — so its own algorithm on identical hardware is the baseline).
-Details (kernel rooflines etc.) go to BENCH_DETAILS.json + stderr.
+Details (kernel numbers) go to BENCH_DETAILS.json + stderr.
+
+Kept lean: one shared power-law graph for the kernel benches, Pallas + XLA
+SpMM only (the SDDMM comparison is recorded in the README/commit history;
+re-enable with BENCH_FULL=1).
 """
 
 import json
+import os
 import sys
 
 
 def main():
+    import time
+
     import jax
 
-    details = {"device": jax.devices()[0].device_kind}
-    from msha_gnn_tpu.bench import bench_flagship, bench_sddmm, bench_spmm
+    t_start = time.time()
+    jax.config.update("jax_default_prng_impl", "rbg")
+    from msha_gnn_tpu.utils.cache import enable_compilation_cache
 
-    # dense baseline at reduced N if HBM is small (v5e 16GB fits full N)
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msha_gnn_tpu.bench import (
+        _timeit,
+        bench_flagship,
+        device_peaks,
+        make_powerlaw_graph,
+    )
+    from msha_gnn_tpu.ops import sddmm_dot, spmm
+    from msha_gnn_tpu.ops.pallas import SpmmOperator
+
+    details = {"device": jax.devices()[0].device_kind, "prng": "rbg"}
     try:
         flagship = bench_flagship()
     except Exception as e:  # baseline OOM fallback: quarter-size dense run
@@ -26,12 +48,37 @@ def main():
               "retrying baseline at N/4", file=sys.stderr)
         flagship = bench_flagship(baseline_n=9792)
     details["flagship"] = flagship
+    print(f"flagship done t={time.time()-t_start:.0f}s", file=sys.stderr)
 
-    for name, fn in (("spmm", bench_spmm), ("sddmm", bench_sddmm)):
-        try:
-            details[name] = fn()
-        except Exception as e:
-            details[name] = {"error": f"{type(e).__name__}: {e}"}
+    # ---- kernel benches on one shared 2M-edge power-law graph ----
+    try:
+        n, e, d = 131072, 2_000_000, 128
+        g, x = make_powerlaw_graph(n, n, e, d)
+        bw, _ = device_peaks()
+        e_pad = g.num_padded_edges
+        strict = e_pad * (8 + 4 * d) + n * d * 4
+        phase = strict + 2 * e_pad * d * 4
+
+        op = SpmmOperator.build(g)
+        t_p = _timeit(jax.jit(lambda x: op(x)), x, iters=10)
+        t_x = _timeit(jax.jit(lambda x: spmm(g, x)), x, iters=10)
+        details["spmm_pallas"] = {
+            "seconds": t_p, "edges_per_s": e / t_p,
+            "speedup_vs_xla": t_x / t_p,
+            "roofline_fraction": (phase / bw) / t_p,
+            "strict_roofline_fraction": (strict / bw) / t_p,
+        }
+        details["spmm_xla"] = {"seconds": t_x, "edges_per_s": e / t_x}
+        print(f"spmm done t={time.time()-t_start:.0f}s", file=sys.stderr)
+
+        if os.environ.get("BENCH_FULL"):
+            rng = np.random.default_rng(1)
+            a = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+            t_s = _timeit(jax.jit(lambda a, b: sddmm_dot(g, a, b)), a, a,
+                          iters=10)
+            details["sddmm_xla"] = {"seconds": t_s, "edges_per_s": e / t_s}
+    except Exception as ex:
+        details["kernels_error"] = f"{type(ex).__name__}: {ex}"
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

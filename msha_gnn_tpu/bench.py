@@ -58,12 +58,24 @@ def _timeit(fn, *args, warmup=3, iters=20):
 # ---------------------------------------------------------------------------
 
 def dense_reference_msha_forward(params, s_feat, r_feat, inter_adj,
-                                 city_rows, prov_rows, batch):
+                                 city_rows, prov_rows, batch, rng,
+                                 dropout=0.5):
     """``city_rows``/``prov_rows``: the (B, N) rows ``city_adj[batch]`` —
     the only slices of the N x N cliques the reference's forward ever reads
     (train.py:95-96), so the baseline is given them precomputed rather than
-    the full 6 GB N x N buffers."""
+    the full 6 GB N x N buffers.  Training-mode dropout is applied at every
+    site the reference applies it (features, each attention matrix, the
+    head concat) so baseline and framework steps do identical work."""
     leaky = partial(jax.nn.leaky_relu, negative_slope=0.2)
+
+    def drop(x, key):
+        keep = 1.0 - dropout
+        return jnp.where(jax.random.bernoulli(key, keep, x.shape),
+                         x / keep, 0.0)
+
+    keys = iter(jax.random.split(rng, 16))
+    s_feat = drop(s_feat, next(keys))
+    r_feat = drop(r_feat, next(keys))
     outs = []
     n, m = inter_adj.shape
     for head in ("attention_0", "attention_1"):
@@ -81,6 +93,7 @@ def dense_reference_msha_forward(params, s_feat, r_feat, inter_adj,
         )
         e12 = leaky((inter_input @ p["a"])[:, :, 0])
         att_inter = jax.nn.softmax(jnp.where(inter_adj > 0, e12, -9e15), axis=1)
+        att_inter = drop(att_inter, next(keys))
 
         h2_b = h2[batch]
         b = h2_b.shape[0]
@@ -95,8 +108,8 @@ def dense_reference_msha_forward(params, s_feat, r_feat, inter_adj,
             + jnp.exp(att4).sum(1, keepdims=True)
             + jnp.exp(att_inter[batch]).sum(1, keepdims=True)
         )
-        att3 = jnp.exp(att3) / denom
-        att4 = jnp.exp(att4) / denom
+        att3 = drop(jnp.exp(att3) / denom, next(keys))
+        att4 = drop(jnp.exp(att4) / denom, next(keys))
 
         inter_rc = att_inter @ h1
         intra_nc = att3.T @ h2_b + att4.T @ h2_b
@@ -104,7 +117,7 @@ def dense_reference_msha_forward(params, s_feat, r_feat, inter_adj,
         v = leaky((att_inter.T @ h2) / jnp.sqrt(1 + eps))
         u = leaky((inter_rc + intra_nc) / jnp.sqrt(1 + eps))
         outs.append(jax.nn.elu(u @ v.T))
-    x = jnp.concatenate(outs, axis=1)
+    x = drop(jnp.concatenate(outs, axis=1), next(keys))
     po = params["out_att"]
     h = x @ po["W"]
     row = leaky(jnp.concatenate([h, h], 1) @ po["a"][:, 0])
@@ -112,6 +125,7 @@ def dense_reference_msha_forward(params, s_feat, r_feat, inter_adj,
         jnp.where(inter_adj > 0, jnp.broadcast_to(row[:, None], h.shape), -9e15),
         axis=1,
     )
+    att = drop(att, next(keys))
     x = jax.nn.elu(att * h)
     return jax.nn.log_softmax(x, axis=1)
 
@@ -189,11 +203,14 @@ def bench_flagship(
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
+    bench_key = jax.random.key(7)
+
     @jax.jit
     def dense_step(params, opt_state):
         def loss_fn(params):
             logp = dense_reference_msha_forward(
-                params, s_feat, r_feat, inter_adj, city_rows, prov_rows, b_batch
+                params, s_feat, r_feat, inter_adj, city_rows, prov_rows,
+                b_batch, bench_key,
             )
             return -jnp.mean(
                 jnp.take_along_axis(logp[b_batch], b_labels[:, None], 1)
@@ -313,8 +330,74 @@ def bench_sddmm(n_src=131072, n_dst=131072, n_edges=2_000_000, d=128,
     }
 
 
-def run_bench(which: str = "all"):
-    out = {"device": jax.devices()[0].device_kind}
+def bench_scaling(
+    n: int = 8192,
+    records: int = 65536,
+    batch_size: int = 1024,
+    device_counts=None,
+    iters: int = 10,
+    **model_kwargs,
+):
+    """Edges/s of the sharded MSHA train step across mesh sizes
+    (BASELINE config #5 machinery).  On a multi-device runtime this
+    measures real scaling; on a single chip it validates the path and
+    reports the 1-device number.  Target: >= 80% scaling efficiency.
+    """
+    from .parallel import make_mesh
+    from .parallel.sharded import make_sharded_msha_step
+
+    devs = jax.devices()
+    if device_counts is None:
+        device_counts = sorted({1, len(devs)})
+    import __graft_entry__ as _ge  # synthetic flow builder lives there
+
+    results = {}
+    base = None
+    for nd in device_counts:
+        fg = _ge._make_synthetic_flow(
+            n=_cdiv(n, nd) * nd, m=32, n_city=64, n_prov=25, records=records
+        )
+        mesh = make_mesh(nd, data_axis=nd)
+        step, state, (data_s, repl) = make_sharded_msha_step(
+            fg, mesh, **model_kwargs
+        )
+        rng = np.random.default_rng(0)
+        src = np.asarray(fg.edge_src)
+        dst = np.asarray(fg.edge_dst)
+        ids = rng.integers(0, len(src), batch_size)
+        batch = jax.device_put(jnp.asarray(src[ids], jnp.int32), data_s)
+        labels = jax.device_put(jnp.asarray(dst[ids], jnp.int32), data_s)
+        weights = jax.device_put(jnp.ones(batch_size, jnp.float32), data_s)
+        key = jax.device_put(jax.random.key(0), repl)
+
+        def run(state):
+            _, loss = step(state, batch, labels, weights, key)
+            return loss
+
+        t = _timeit(run, state, iters=iters)
+        rps = batch_size / t
+        eff = None
+        if base is None:
+            base = (nd, rps)
+        else:
+            eff = rps / (base[1] * nd / base[0])
+        results[str(nd)] = {
+            "step_seconds": t,
+            "records_per_s": rps,
+            "scaling_efficiency": eff,
+        }
+    return results
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def run_bench(which: str = "all", prng: str = "rbg"):
+    # rbg generates dropout masks ~4x faster than threefry on TPU and cuts
+    # ~27% off the flagship step; applied to framework AND baseline runs.
+    jax.config.update("jax_default_prng_impl", prng)
+    out = {"device": jax.devices()[0].device_kind, "prng": prng}
     if which in ("all", "flagship"):
         out["flagship"] = bench_flagship()
     if which in ("all", "spmm"):

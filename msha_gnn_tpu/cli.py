@@ -52,6 +52,14 @@ def cmd_train(args) -> int:
     fg = load_flow_graph(cfg.year, cfg.data_dir)
     log({"event": "data", "n": fg.n_src, "m": fg.n_dst,
          "records": fg.num_records, "edges": fg.inter.num_edges})
+    if fg.num_records == 0:
+        print(
+            f"year {cfg.year} has no Flow records in {cfg.data_dir} "
+            "(Flow2016-2018.csv are absent upstream — see "
+            ".MISSING_LARGE_BLOBS); only 2015 is trainable as shipped",
+            file=sys.stderr,
+        )
+        return 2
 
     if cfg.model in ("msha", "ours", "ablation1", "ablation2", "ablation3"):
         flags = cfg.model_flags()
@@ -155,6 +163,9 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="msha_gnn_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -266,6 +266,18 @@ def normalize_by_dst_degree(graph: BipartiteGraph) -> BipartiteGraph:
     return graph.with_weight(graph.weight * inv_pad[graph.receivers])
 
 
+def from_scipy(sparse_mx, *, pad_to_multiple: int = 128) -> BipartiteGraph:
+    """scipy.sparse -> :class:`BipartiteGraph` (the counterpart of the
+    reference's dead ``sparse_mx_to_torch_sparse_tensor``,
+    ``dataset.py:350-357``)."""
+    coo = sparse_mx.tocoo()
+    return BipartiteGraph.from_coo(
+        coo.row, coo.col, coo.data.astype(np.float32),
+        n_src=coo.shape[0], n_dst=coo.shape[1],
+        pad_to_multiple=pad_to_multiple, combine_duplicates=True,
+    )
+
+
 def normalize_rows(graph: BipartiteGraph) -> BipartiteGraph:
     """Row normalisation ``D^-1 @ A`` (reference ``dataset.normalize``,
     ``dataset.py:332-339``)."""

@@ -9,7 +9,15 @@ from .metrics import (
 )
 from .optim import adam_l2, sgd_momentum
 from .tasks import flow_inputs, gat_task, gcn_task, msha_task, sage_task
-from .trainer import Task, Trainer, TrainState, make_eval_step, make_train_step
+from .trainer import (
+    Task,
+    Trainer,
+    TrainState,
+    make_eval_multi_step,
+    make_eval_step,
+    make_train_multi_step,
+    make_train_step,
+)
 
 __all__ = [
     "nll_loss",
@@ -30,6 +38,8 @@ __all__ = [
     "TrainState",
     "Trainer",
     "make_train_step",
+    "make_train_multi_step",
+    "make_eval_multi_step",
     "make_eval_step",
     "flow_inputs",
     "msha_task",
