@@ -71,6 +71,26 @@ def main():
         details["spmm_xla"] = {"seconds": t_x, "edges_per_s": e / t_x}
         print(f"spmm done t={time.time()-t_start:.0f}s", file=sys.stderr)
 
+        # fused attention (softmax + aggregate) vs separate XLA ops
+        from msha_gnn_tpu.ops import edge_softmax
+        from msha_gnn_tpu.ops.pallas import FlashGATOperator
+
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(
+            rng.standard_normal(g.num_padded_edges), jnp.float32
+        )
+        fop = FlashGATOperator.build(g, spmm=op)
+        t_fl = _timeit(jax.jit(lambda l, x: fop(l, x)), logits, x, iters=10)
+        t_sep = _timeit(
+            jax.jit(lambda l, x: spmm(g, x, edge_weight=edge_softmax(g, l))),
+            logits, x, iters=10,
+        )
+        details["flash_gat"] = {
+            "seconds": t_fl, "edges_per_s": e / t_fl,
+            "speedup_vs_xla_separate": t_sep / t_fl,
+        }
+        print(f"flash done t={time.time()-t_start:.0f}s", file=sys.stderr)
+
         if os.environ.get("BENCH_FULL"):
             rng = np.random.default_rng(1)
             a = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)

@@ -37,6 +37,8 @@ from .common import XAVIER_GAIN, elu, gdp_feature_init, xavier_uniform
 
 Array = jax.Array
 
+_flash_cache: dict = {}
+
 
 class MaskedGATLayer(nn.Module):
     """Reference ``GraphAttentionLayer`` (``GAT.py:6-35``).
@@ -157,9 +159,25 @@ class SparseGATLayer(nn.Module):
         from ..ops.sparse import sddmm
 
         logits = sddmm(graph, s_src, s_dst, negative_slope=self.negative_slope)
+        if impl == "flash" and not (train and self.dropout > 0):
+            # fused softmax+aggregate (no attention-weight materialisation);
+            # attention dropout needs explicit weights, so training with
+            # dropout falls back to the separate path below
+            from ..ops.pallas.flash_gat import FlashGATOperator
+
+            key = id(graph.senders)
+            cache = _flash_cache
+            op = cache.get(key)
+            if op is None or op.graph.senders is not graph.senders:
+                op = FlashGATOperator.build(graph)
+                cache[key] = op
+                if len(cache) > 8:
+                    cache.pop(next(iter(cache)))
+            return elu(op(logits, h_dst))
+        spmm_impl = "pallas" if impl == "flash" else impl
         att = edge_softmax(graph, logits)
         att = nn.Dropout(self.dropout, deterministic=not train)(att)
-        return elu(spmm(graph, h_dst, edge_weight=att, impl=impl))
+        return elu(spmm(graph, h_dst, edge_weight=att, impl=spmm_impl))
 
 
 class SparseGAT(nn.Module):

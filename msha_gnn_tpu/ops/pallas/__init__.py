@@ -1,8 +1,11 @@
+from .flash_gat import FlashGATOperator, flash_gat_aggregate
 from .sddmm import SddmmOperator, sddmm_dot_pallas, sddmm_pallas
 from .spmm import SpmmOperator, segment_reduce_sorted, spmm_pallas
 
 __all__ = [
     "SpmmOperator",
+    "FlashGATOperator",
+    "flash_gat_aggregate",
     "segment_reduce_sorted",
     "spmm_pallas",
     "SddmmOperator",
