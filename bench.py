@@ -49,6 +49,14 @@ def main():
         flagship = bench_flagship(baseline_n=9792)
     details["flagship"] = flagship
     print(f"flagship done t={time.time()-t_start:.0f}s", file=sys.stderr)
+    # Emit the headline immediately — kernel details below are best-effort
+    # and must not cost the driver the headline on a timeout.
+    print(json.dumps({
+        "metric": "msha_train_records_per_s",
+        "value": round(flagship["records_per_s"], 2),
+        "unit": "records/s",
+        "vs_baseline": round(flagship["speedup_vs_dense_reference"], 3),
+    }), flush=True)
 
     # ---- kernel benches on one shared 2M-edge power-law graph ----
     try:
@@ -103,13 +111,6 @@ def main():
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
     print(json.dumps(details, indent=2), file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "msha_train_records_per_s",
-        "value": round(flagship["records_per_s"], 2),
-        "unit": "records/s",
-        "vs_baseline": round(flagship["speedup_vs_dense_reference"], 3),
-    }))
 
 
 if __name__ == "__main__":

@@ -406,4 +406,6 @@ def run_bench(which: str = "all", prng: str = "rbg"):
     if which in ("all", "sddmm"):
         out["sddmm"] = bench_sddmm(impl="xla")
         out["sddmm_pallas"] = bench_sddmm(impl="pallas")
+    if which == "scaling":
+        out["scaling"] = bench_scaling()
     return out

@@ -76,7 +76,7 @@ class SddmmOperator:
         inv = np.full(e_pad, len(s2e), np.int64)
         valid = s2e < e_pad  # non-padding slots hold each CSR edge once
         inv[s2e[valid]] = np.nonzero(valid)[0]
-        self._csr_to_slot = jnp.asarray(inv.astype(np.int32))
+        self._csr_to_slot = inv.astype(np.int32)  # host numpy: trace-safe
 
         graph_ = self.graph
         spmm_ = self.spmm

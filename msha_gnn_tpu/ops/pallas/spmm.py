@@ -329,11 +329,14 @@ def _make_direction(senders_np, receivers_np, row_ptr_np, n_rows, n_cols,
     csr_ext = np.concatenate([edge_to_csr_np, [e_pad]]).astype(np.int64)
     slot_to_csr = csr_ext[np.minimum(slot_to_edge, e_pad)].astype(np.int32)
     return _Direction(
-        recv_al=jnp.asarray(recv_al),
-        send_al=jnp.asarray(senders_al),
-        slot_to_edge=jnp.asarray(slot_to_csr),
-        block_id=jnp.asarray(block_id),
-        first=jnp.asarray(first),
+        # stored as host numpy so building an operator inside a jit trace
+        # never captures trace-local tracers (each use lifts them as
+        # constants of that trace)
+        recv_al=np.asarray(recv_al),
+        send_al=np.asarray(senders_al),
+        slot_to_edge=np.asarray(slot_to_csr),
+        block_id=np.asarray(block_id),
+        first=np.asarray(first),
         n_rows=int(n_rows),
         n_cols=int(n_cols),
         e_pad=int(e_pad),

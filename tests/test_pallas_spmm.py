@@ -103,3 +103,25 @@ def test_spmm_via_ops_impl_flag(rng):
     x = rng.standard_normal((30, 8)).astype(np.float32)
     got = np.asarray(spmm(g, jnp.asarray(x), impl="pallas"))
     np.testing.assert_allclose(got, dense @ x, rtol=1e-3, atol=1e-3)
+
+
+def test_operator_built_inside_trace_reused_across_traces(rng):
+    """Regression: spmm_pallas cached an operator whose aligned-layout
+    arrays were created during one jit trace (jnp constants = tracers) and
+    leaked into later traces.  Layouts are host numpy now."""
+    import jax
+
+    g, dense = make_random_bipartite(rng, 50, 30, density=0.2)
+
+    @jax.jit
+    def f1(x):
+        return spmm(g, x, impl="pallas")
+
+    @jax.jit
+    def f2(x):
+        return spmm(g, x, impl="pallas") * 2
+
+    x = jnp.asarray(rng.standard_normal((30, 8)).astype(np.float32))
+    a = np.asarray(f1(x))
+    b = np.asarray(f2(x))
+    np.testing.assert_allclose(b, a * 2, rtol=1e-5)
