@@ -150,6 +150,7 @@ def cmd_explain(args) -> int:
     out = run_explain(
         year=args.year, data_dir=args.data_dir, model=args.model,
         epochs=args.epochs, top_k=args.top_k, output=args.output,
+        npz_path=args.npz_path,
     )
     print(json.dumps({"written": out}))
     return 0
@@ -164,8 +165,10 @@ def cmd_bench(args) -> int:
 
 def main(argv=None) -> int:
     from .utils.cache import enable_compilation_cache
+    from .utils.debug import nan_guard_from_env
 
     enable_compilation_cache()
+    nan_guard_from_env()
     parser = argparse.ArgumentParser(prog="msha_gnn_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -208,6 +211,7 @@ def main(argv=None) -> int:
     p_exp.add_argument("--epochs", type=int, default=1)
     p_exp.add_argument("--top_k", type=int, default=100)
     p_exp.add_argument("--output", default="explain.json")
+    p_exp.add_argument("--npz_path", default=None)
     p_exp.set_defaults(fn=cmd_explain)
 
     p_bench = sub.add_parser("bench", help="microbenchmarks")

@@ -69,10 +69,32 @@ def extract_attention(att_inter: np.ndarray, city: Grouping,
     }
 
 
+def save_attcoeff_npz(path: str, att_inter: np.ndarray, city: Grouping,
+                      province: Grouping, city_w=None, prov_w=None):
+    """Reference-parity npz artefact (``train.py:317-321`` writes
+    ``{year}AttCoeff.npz`` with dense Coeff12/Coeff3/Coeff4).
+
+    ``Coeff12`` is dense (N, M) as in the reference.  The (N, N) clique
+    coefficients are stored *factored*: per-node weight + group id (the
+    dense row of node i is ``city_w[i]`` over the members of ``city_gid[i]``
+    — ~6 GB per dense buffer avoided; Explainer-style consumers reconstruct
+    any row on demand)."""
+    n = att_inter.shape[0]
+    np.savez(
+        path,
+        Coeff12=att_inter,
+        city_w=np.asarray(city_w) if city_w is not None else np.ones(n, np.float32),
+        city_gid=np.asarray(city.group_id),
+        province_w=np.asarray(prov_w) if prov_w is not None else np.ones(n, np.float32),
+        province_gid=np.asarray(province.group_id),
+    )
+    return path
+
+
 def run_explain(year="2015", data_dir="/root/reference/anonymous_data",
                 model="msha", epochs: int = 1, top_k: int = 1,
                 output: str = "explain.json", batch_size: int = 1024,
-                seed: int = 42):
+                seed: int = 42, npz_path=None):
     """Train briefly, record attention, map indices to recipient names, dump
     JSON (the reference's commented-out npz + FindingTopK flow end to end)."""
     import os
@@ -96,13 +118,22 @@ def run_explain(year="2015", data_dir="/root/reference/anonymous_data",
     for ep in range(epochs):
         state, _, key = trainer.train_epoch(state, ids, key, ep)
 
-    # Record: one forward with record=True (att_inter is batch-independent)
+    # Record: one full-graph forward with record=True (att_inter is
+    # batch-independent; batch=arange(N) makes the factored intra weights
+    # cover every node, the O(N) equivalent of the reference's all-N
+    # batched Record() loop, train.py:284-291)
     inter_mask = fg.inter.to_dense() > 0
     logp, auxes = net.apply(
         state.variables, inter_mask, fg.city, fg.province,
-        jnp.zeros((1,), jnp.int32), train=False, record=True,
+        jnp.arange(fg.n_src, dtype=jnp.int32), train=False, record=True,
     )
     att_inter = np.asarray(auxes[0]["att_inter"])  # head 0, as the reference
+    if npz_path:
+        save_attcoeff_npz(
+            npz_path, att_inter, fg.city, fg.province,
+            city_w=auxes[0].get("intra_city_weight"),
+            prov_w=auxes[0].get("intra_province_weight"),
+        )
     art = extract_attention(att_inter, fg.city, fg.province, top_k=top_k)
 
     _, _, recipient_index = load_index_match(

@@ -25,8 +25,6 @@ All shapes are static (padded) so everything can live under ``jax.jit``.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

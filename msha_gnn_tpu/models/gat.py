@@ -33,7 +33,7 @@ from ..ops import (
     self_concat_logits,
     spmm,
 )
-from .common import XAVIER_GAIN, elu, gdp_feature_init, xavier_uniform
+from .common import elu, gdp_feature_init, xavier_uniform
 
 Array = jax.Array
 

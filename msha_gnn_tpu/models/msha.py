@@ -31,7 +31,6 @@ TPU-first structure (exact math, different layout):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax

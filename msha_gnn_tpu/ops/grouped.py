@@ -21,7 +21,6 @@ would require materialising it).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..graph import BipartiteGraph
-from ..ops import spmm
 from .partition import partition_edges_by_src
 
 

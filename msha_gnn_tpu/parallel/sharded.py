@@ -16,7 +16,6 @@ collectives (all-gather for cross-partition feature gathers, psum for the
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -7,9 +7,10 @@ single-chip and multi-host runs.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
 
 import jax
+from typing import Optional
+
 import orbax.checkpoint as ocp
 
 from .trainer import TrainState

@@ -27,9 +27,7 @@ Repaired-intent notes (SURVEY §2.2 #2-4, §2.1 #15):
 
 from __future__ import annotations
 
-import dataclasses
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,7 @@ This module supplies the full intended pipeline:
 
 from __future__ import annotations
 
-import dataclasses
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph import BipartiteGraph, FlowGraph, normalize_by_dst_degree
+from ..graph import FlowGraph, normalize_by_dst_degree
 from ..models import GAT, GCN, MSHA, GraphSAGE
 from .optim import adam_l2
 from .trainer import Task

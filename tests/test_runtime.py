@@ -48,3 +48,19 @@ def test_step_timer():
 def test_annotate_runs():
     with annotate("phase"):
         pass
+
+
+def test_nan_guard_raises():
+    import jax.numpy as jnp
+
+    from msha_gnn_tpu.utils.debug import nan_guard
+
+    @jax.jit
+    def bad(x):
+        return jnp.log(x)
+
+    with pytest.raises(FloatingPointError):
+        with nan_guard():
+            bad(jnp.asarray([-1.0])).block_until_ready()
+    # config restored
+    assert not jax.config.jax_debug_nans
