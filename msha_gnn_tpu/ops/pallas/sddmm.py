@@ -76,7 +76,12 @@ class SddmmOperator:
         inv = np.full(e_pad, len(s2e), np.int64)
         valid = s2e < e_pad  # non-padding slots hold each CSR edge once
         inv[s2e[valid]] = np.nonzero(valid)[0]
-        self._csr_to_slot = inv.astype(np.int32)  # host numpy: trace-safe
+        inv = inv.astype(np.int32)
+        from .spmm import _trace_state_clean
+
+        # numpy when built under a trace (trace-safe), device otherwise
+        # (avoids literal-constant HLO bloat on big graphs)
+        self._csr_to_slot = jnp.asarray(inv) if _trace_state_clean() else inv
 
         graph_ = self.graph
         spmm_ = self.spmm

@@ -249,18 +249,24 @@ def _aligned_layout(senders_np, row_ptr_np, n_src, e_pad):
     """
     n_pad = _round_up(max(n_src, ROW_BLK), ROW_BLK)
     blocks = n_pad // ROW_BLK
-    slots, block_ids, firsts = [], [], []
-    for b in range(blocks):
-        lo = int(row_ptr_np[min(b * ROW_BLK, n_src)])
-        hi = int(row_ptr_np[min((b + 1) * ROW_BLK, n_src)])
-        cnt = hi - lo
-        n_chunks = max(1, -(-cnt // E_CHUNK))
-        idx = np.full(n_chunks * E_CHUNK, e_pad, np.int64)
-        idx[:cnt] = np.arange(lo, hi)
-        slots.append(idx)
-        block_ids.extend([b] * n_chunks)
-        firsts.extend([1] + [0] * (n_chunks - 1))
-    slot_to_edge = np.concatenate(slots).astype(np.int32)
+    row_ptr_np = np.asarray(row_ptr_np, np.int64)
+    b_rows = np.minimum(np.arange(blocks + 1) * ROW_BLK, n_src)
+    lo = row_ptr_np[b_rows[:-1]]
+    cnt = row_ptr_np[b_rows[1:]] - lo
+    n_chunks = np.maximum(1, -(-cnt // E_CHUNK))
+    slots_per_block = n_chunks * E_CHUNK
+    offsets = np.concatenate([[0], np.cumsum(slots_per_block)])
+    total = int(offsets[-1])
+    block_of_slot = np.repeat(np.arange(blocks, dtype=np.int64),
+                              slots_per_block)
+    within = np.arange(total, dtype=np.int64) - offsets[block_of_slot]
+    slot_to_edge = np.where(
+        within < cnt[block_of_slot], lo[block_of_slot] + within, e_pad
+    ).astype(np.int32)
+    chunk_total = int(n_chunks.sum())
+    block_ids = np.repeat(np.arange(blocks, dtype=np.int32), n_chunks)
+    firsts = np.zeros(chunk_total, np.int32)
+    firsts[np.concatenate([[0], np.cumsum(n_chunks)[:-1]])] = 1
     senders_al = np.where(
         slot_to_edge < e_pad,
         np.concatenate([senders_np, [n_pad]])[
@@ -335,10 +341,9 @@ def _make_direction(senders_np, receivers_np, row_ptr_np, n_rows, n_cols,
     # map aligned slot -> CSR edge id (for runtime edge_weight reordering)
     csr_ext = np.concatenate([edge_to_csr_np, [e_pad]]).astype(np.int64)
     slot_to_csr = csr_ext[np.minimum(slot_to_edge, e_pad)].astype(np.int32)
-    return _Direction(
-        # stored as host numpy so building an operator inside a jit trace
-        # never captures trace-local tracers (each use lifts them as
-        # constants of that trace)
+    d = _Direction(
+        # built as host numpy so construction inside a jit trace never
+        # captures trace-local tracers ...
         recv_al=np.asarray(recv_al),
         send_al=np.asarray(senders_al),
         slot_to_edge=np.asarray(slot_to_csr),
@@ -348,6 +353,26 @@ def _make_direction(senders_np, receivers_np, row_ptr_np, n_rows, n_cols,
         n_cols=int(n_cols),
         e_pad=int(e_pad),
     )
+    # ... but committed to device when built at top level: numpy closures
+    # lower into the HLO as literal constants (a 50M-edge layout blows the
+    # program size), while device arrays become runtime parameters.
+    if _trace_state_clean():
+        d = dataclasses.replace(
+            d,
+            recv_al=jnp.asarray(d.recv_al),
+            send_al=jnp.asarray(d.send_al),
+            slot_to_edge=jnp.asarray(d.slot_to_edge),
+            block_id=jnp.asarray(d.block_id),
+            first=jnp.asarray(d.first),
+        )
+    return d
+
+
+def _trace_state_clean() -> bool:
+    try:
+        return jax.core.trace_state_clean()
+    except Exception:
+        return False
 
 
 def _direction_apply(d: _Direction, x, w_csr, interpret: bool,

@@ -80,7 +80,24 @@ def msha_task(
         jax.random.key(seed), inter_mask, city, prov,
         jnp.zeros((1,), jnp.int32), train=False,
     )
-    return Task(forward=forward, tx=adam_l2(lr, weight_decay)), variables, model
+    full_scores = None
+    if not use_intra:
+        # without intra channels the output is batch-independent (the full
+        # MSHA's intra aggregation makes eval scores depend on the batch —
+        # a reference quirk preserved by per-batch eval)
+        @jax.jit
+        def full_scores(variables):
+            return model.apply(
+                variables, inter_mask, city, prov,
+                jnp.zeros((1,), jnp.int32), train=False,
+            )
+
+    return (
+        Task(forward=forward, tx=adam_l2(lr, weight_decay),
+             full_scores=full_scores),
+        variables,
+        model,
+    )
 
 
 def gat_task(
@@ -107,7 +124,17 @@ def gat_task(
         return logp[batch_idx], {}
 
     variables = model.init(jax.random.key(seed), inter_mask, train=False)
-    return Task(forward=forward, tx=adam_l2(lr, weight_decay)), variables, model
+
+    @jax.jit
+    def full_scores(variables):
+        return model.apply(variables, inter_mask, train=False)
+
+    return (
+        Task(forward=forward, tx=adam_l2(lr, weight_decay),
+             full_scores=full_scores),
+        variables,
+        model,
+    )
 
 
 def gcn_task(
@@ -130,7 +157,17 @@ def gcn_task(
         return logp[batch_idx], {}
 
     variables = model.init(jax.random.key(seed), g_norm, train=False)
-    return Task(forward=forward, tx=adam_l2(lr, weight_decay)), variables, model
+
+    @jax.jit
+    def full_scores(variables):
+        return model.apply(variables, g_norm, train=False)
+
+    return (
+        Task(forward=forward, tx=adam_l2(lr, weight_decay),
+             full_scores=full_scores),
+        variables,
+        model,
+    )
 
 
 def sage_task(

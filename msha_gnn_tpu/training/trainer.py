@@ -65,6 +65,11 @@ class Task:
     forward: Callable[..., Any]
     tx: optax.GradientTransformation
     loss_fn: Callable[[Array, Array], Array] = nll_loss
+    # For models whose eval output is batch-independent (MSHA/GAT/GCN: the
+    # full [N, M] score matrix does not depend on the minibatch), one
+    # full-graph forward replaces the reference's per-batch recompute
+    # (train.py:247-254 recomputes the whole model for every 64 rows).
+    full_scores: Optional[Callable[..., Any]] = None
 
 
 def _train_step_body(task: Task, state: TrainState, batch_idx, labels,
@@ -241,6 +246,23 @@ class Trainer:
         return state, avg, rng_key
 
     def evaluate(self, state: TrainState, record_ids: np.ndarray) -> Dict:
+        if self.task.full_scores is not None:
+            full = self.task.full_scores(state.variables)  # [N, M]
+            ids = record_ids
+            scores = np.asarray(full)[self.src[ids]]
+            labels = self.labels[ids]
+            report = {
+                k: float(v)
+                for k, v in classification_report(
+                    jnp.asarray(scores), jnp.asarray(labels)
+                ).items()
+            }
+            report["loss"] = float(
+                -np.take_along_axis(scores, labels[:, None], axis=1).mean()
+            )
+            if self.log:
+                self.log({"event": "eval", **report})
+            return report
         idx_s, w_s = _stacked_batches(
             len(record_ids), self.batch_size, shuffle=False,
             rng=np.random.default_rng(0),

@@ -125,3 +125,22 @@ def test_operator_built_inside_trace_reused_across_traces(rng):
     a = np.asarray(f1(x))
     b = np.asarray(f2(x))
     np.testing.assert_allclose(b, a * 2, rtol=1e-5)
+
+
+def test_chunked_spmm_matches_full(rng):
+    """Out-of-core edge slicing: sum of per-slice SpMMs == full SpMM."""
+    from msha_gnn_tpu.ops.chunked import ChunkedSpmm
+
+    g, dense = make_random_bipartite(rng, 200, 80, density=0.1)
+    x = jnp.asarray(rng.standard_normal((80, 16)).astype(np.float32))
+    op = ChunkedSpmm(g, num_slices=3, interpret=True)
+    got = np.asarray(op(x))
+    np.testing.assert_allclose(got, dense @ np.asarray(x), rtol=1e-3,
+                               atol=1e-3)
+    got_t = np.asarray(
+        ChunkedSpmm(g, 3, interpret=True)(
+            jnp.asarray(rng.standard_normal((200, 8)).astype(np.float32)),
+            transpose=True,
+        )
+    )
+    assert got_t.shape == (80, 8)
