@@ -38,6 +38,7 @@ from .spmm import (
     ROW_BLK,
     SpmmOperator,
     _gather_rows,
+    _order_w,
     _round_up,
 )
 
@@ -46,8 +47,8 @@ Array = jax.Array
 NEG = -1e30
 
 
-def _flash_kernel(bid_ref, first_ref, last_ref, send_ref, logit_ref, x_ref,
-                  outa_ref, ms_ref, m_scr, s_scr):
+def _flash_kernel(bid_ref, cs_ref, first_ref, last_ref, send_ref, logit_ref,
+                  x_ref, outa_ref, ms_ref, m_scr, s_scr):
     k = pl.program_id(0)
     row0 = bid_ref[k] * ROW_BLK
 
@@ -77,13 +78,19 @@ def _flash_kernel(bid_ref, first_ref, last_ref, send_ref, logit_ref, x_ref,
         jnp.where(onehot_b, p, 0.0), axis=1, keepdims=True
     )
 
-    onehot = onehot_b.astype(jnp.bfloat16)
-    px = p.reshape(E_CHUNK, 1) * x_ref[:]                    # [E_CHUNK, d]
-    hi = px.astype(jnp.bfloat16)
-    lo = (px - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # fold p into the one-hot (weighted one-hot, hi/lo split on both
+    # operands, lo*lo dropped) — the MXU applies the attention weights,
+    # saving the [E_CHUNK, d] VPU multiply the old p*x formulation paid
+    oh = jnp.where(onehot_b, p, 0.0)                         # [ROW_BLK, E_CHUNK]
+    oh_hi = oh.astype(jnp.bfloat16)
+    oh_lo = (oh - oh_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    x = x_ref[:]
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     outa_ref[:] = outa_ref[:] * scale + (
-        jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
-        + jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
+        jnp.dot(oh_hi, x_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(oh_hi, x_lo, preferred_element_type=jnp.float32)
+        + jnp.dot(oh_lo, x_hi, preferred_element_type=jnp.float32)
     )
     m_scr[:] = m_new
 
@@ -94,33 +101,32 @@ def _flash_kernel(bid_ref, first_ref, last_ref, send_ref, logit_ref, x_ref,
         )  # [ROW_BLK, 2]
 
 
-def _flash_aligned(dir_, logits_al, x_al, interpret):
-    e_al, d_pad = x_al.shape
+def _flash_visits(dir_, logits_ord, x_ord, interpret):
+    e_ch, d_pad = x_ord.shape
     n_pad = _round_up(max(dir_.n_rows, ROW_BLK), ROW_BLK)
-    n_chunks = e_al // E_CHUNK
-    bid = np.asarray(dir_.block_id)
-    first = np.asarray(dir_.first)
-    last = np.zeros_like(first)
-    last[:-1] = first[1:]
-    last[-1] = 1
 
     outa, ms = pl.pallas_call(
         _flash_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(n_chunks,),
+            num_scalar_prefetch=4,
+            grid=(int(dir_.bid.shape[0]),),
             in_specs=[
-                pl.BlockSpec((1, E_CHUNK), lambda k, *_: (0, k),
+                pl.BlockSpec((1, E_CHUNK),
+                             lambda k, bid, cs, first, last: (0, cs[k]),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, E_CHUNK), lambda k, *_: (0, k),
+                pl.BlockSpec((1, E_CHUNK),
+                             lambda k, bid, cs, first, last: (0, cs[k]),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((E_CHUNK, d_pad), lambda k, *_: (k, 0),
+                pl.BlockSpec((E_CHUNK, d_pad),
+                             lambda k, bid, cs, first, last: (cs[k], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((ROW_BLK, d_pad), lambda k, bid, *_: (bid[k], 0),
+                pl.BlockSpec((ROW_BLK, d_pad),
+                             lambda k, bid, cs, first, last: (bid[k], 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ROW_BLK, 2), lambda k, bid, *_: (bid[k], 0),
+                pl.BlockSpec((ROW_BLK, 2),
+                             lambda k, bid, cs, first, last: (bid[k], 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
@@ -133,13 +139,13 @@ def _flash_aligned(dir_, logits_al, x_al, interpret):
             jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_al * ROW_BLK * d_pad,
-            bytes_accessed=e_al * (4 * d_pad + 8) + n_pad * d_pad * 4,
-            transcendentals=e_al,
+            flops=2 * e_ch * ROW_BLK * d_pad,
+            bytes_accessed=e_ch * (4 * d_pad + 8) + n_pad * d_pad * 4,
+            transcendentals=e_ch,
         ),
         interpret=interpret,
-    )(jnp.asarray(bid), jnp.asarray(first), jnp.asarray(last),
-      dir_.send_al.reshape(1, e_al), logits_al.reshape(1, e_al), x_al)
+    )(dir_.bid, dir_.cs, dir_.first, dir_.last,
+      dir_.senders.reshape(1, e_ch), logits_ord.reshape(1, e_ch), x_ord)
     return outa, ms
 
 
@@ -160,21 +166,22 @@ class FlashGATOperator:
         self.interpret = self.spmm.interpret
         dir_ = self.spmm.fwd_dir
         g = graph
-        e_pad = g.num_padded_edges
-        slot_to_csr = dir_.slot_to_edge
         interp = self.interpret
         spmm_op = self.spmm
 
         def fwd_impl(logits, x):
             d_feat = x.shape[1]
             d_pad = _round_up(d_feat, LANE)
-            # aligned logits: pad slots -> NEG so exp() kills them
-            l_ext = jnp.concatenate([logits, jnp.full((1,), NEG, logits.dtype)])
-            logits_al = l_ext[jnp.minimum(slot_to_csr, e_pad)]
-            x_al = _gather_rows(x, dir_.recv_al, dir_.n_cols)
+            # the schedule works on the raw CSR edge order, so runtime
+            # logits need only zero-padding (pad slots are killed in-kernel
+            # by `valid` regardless of their logit value)
+            logits_ord = _order_w(dir_, logits)
+            # bare clamped gather — invalid slots are killed in-kernel by
+            # their zero one-hot column (p = 0), so no masking pass
+            x_ord = jnp.take(x, dir_.recv_clamped, axis=0)
             if d_pad != d_feat:
-                x_al = jnp.pad(x_al, ((0, 0), (0, d_pad - d_feat)))
-            outa, ms = _flash_aligned(dir_, logits_al, x_al, interp)
+                x_ord = jnp.pad(x_ord, ((0, 0), (0, d_pad - d_feat)))
+            outa, ms = _flash_visits(dir_, logits_ord, x_ord, interp)
             m = ms[: g.n_src, 0]
             s = ms[: g.n_src, 1]
             out = outa[: g.n_src, :d_feat] / jnp.maximum(s, 1e-30)[:, None]

@@ -1,11 +1,16 @@
 """Pallas TPU SDDMM: per-edge ``<h_src[s], h_dst[r]>`` over a CSR edge list.
 
-Structure mirrors the SpMM reduction (``spmm.py``): in the chunk-aligned
-layout every edge chunk maps into one 128-row block of ``h_src``, so the
-sorted-side gather becomes an MXU matmul ``onehot.T @ h_src_block`` and only
-the receiver side needs XLA's hardware gather.  The per-edge dot is a VPU
-row reduction fused in the same kernel — the (E, d) gathered-src
-intermediate never exists in HBM.
+Structure mirrors the SpMM reduction (``spmm.py``): the visit schedule
+walks the raw CSR edge chunks, so within a visit every edge of the chunk
+that belongs to the visit's 128-row block gathers its source row via an
+MXU matmul ``onehot.T @ h_src_block`` and only the receiver side needs
+XLA's hardware gather.  The per-edge dot is a VPU row reduction fused in
+the same kernel — the (E, d) gathered-src intermediate never exists in
+HBM, and the output is written directly in CSR edge order (no
+un-permutation pass).  A chunk straddling a block boundary is visited by
+both blocks: each visit accumulates only its own block's edges (foreign
+edges one-hot to zero), with the chunk zero-initialised on its first
+visit.
 
 Backward is two fast SpMMs (the adjoint of SDDMM):
 ``dh_src = A(g) @ h_dst`` and ``dh_dst = A(g).T @ h_src`` with the edge
@@ -31,29 +36,35 @@ from .spmm import (
     LANE,
     ROW_BLK,
     SpmmOperator,
-    _gather_rows,
     _round_up,
+    _trace_state_clean,
 )
 
 Array = jax.Array
 
 
-def _sddmm_kernel(block_id_ref, first_ref, senders_ref, src_ref, dst_ref,
+def _sddmm_kernel(bid_ref, cs_ref, cfirst_ref, senders_ref, src_ref, dst_ref,
                   out_ref):
     k = pl.program_id(0)
-    row0 = block_id_ref[k] * ROW_BLK
+
+    @pl.when(cfirst_ref[k] != 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    row0 = bid_ref[k] * ROW_BLK
     local = senders_ref[:].reshape(E_CHUNK, 1) - row0  # [E_CHUNK, 1]
     cols = jax.lax.broadcasted_iota(jnp.int32, (E_CHUNK, ROW_BLK), 1)
     onehot_t = (cols == local).astype(jnp.bfloat16)  # [E_CHUNK, ROW_BLK]
     src = src_ref[:]
     hi = src.astype(jnp.bfloat16)
     lo = (src - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    # gathered src rows for each edge in the chunk: [E_CHUNK, d]
+    # gathered src rows for this block's edges in the chunk: [E_CHUNK, d]
+    # (foreign/pad edges one-hot to a zero row -> zero contribution)
     gathered = jnp.dot(onehot_t, hi, preferred_element_type=jnp.float32)
     gathered += jnp.dot(onehot_t, lo, preferred_element_type=jnp.float32)
     prod = gathered * dst_ref[:]
     # [E_CHUNK] logits written lane-major as [8, E_CHUNK/8]
-    out_ref[:] = jnp.sum(prod, axis=1).reshape(out_ref.shape)
+    out_ref[:] += jnp.sum(prod, axis=1).reshape(out_ref.shape)
 
 
 class SddmmOperator:
@@ -66,32 +77,20 @@ class SddmmOperator:
         self.graph = graph
         self.spmm = spmm if spmm is not None else SpmmOperator(graph, interpret)
         self.interpret = self.spmm.interpret
-        d = self.spmm.fwd_dir
-        self._dir = d
-        # slot -> CSR edge mapping to un-align the output
-        self._slot_to_csr = d.slot_to_edge
-        # inverse: CSR edge -> aligned slot
-        s2e = np.asarray(d.slot_to_edge)
-        e_pad = graph.num_padded_edges
-        inv = np.full(e_pad, len(s2e), np.int64)
-        valid = s2e < e_pad  # non-padding slots hold each CSR edge once
-        inv[s2e[valid]] = np.nonzero(valid)[0]
-        inv = inv.astype(np.int32)
-        from .spmm import _trace_state_clean
+        dir_ = self.spmm.fwd_dir
+        # per-visit "first visit of this chunk" flags (zero-init points)
+        cs = np.asarray(dir_.cs)
+        cfirst = np.ones(len(cs), np.int32)
+        cfirst[1:] = (cs[1:] != cs[:-1]).astype(np.int32)
+        self._cfirst = jnp.asarray(cfirst) if _trace_state_clean() else cfirst
 
-        # numpy when built under a trace (trace-safe), device otherwise
-        # (avoids literal-constant HLO bloat on big graphs)
-        self._csr_to_slot = jnp.asarray(inv) if _trace_state_clean() else inv
-
-        graph_ = self.graph
         spmm_ = self.spmm
         interp = self.interpret
-        dir_ = self._dir
-        csr_to_slot = self._csr_to_slot
+        cfirst_arr = self._cfirst
 
         @jax.custom_vjp
         def apply_fn(h_src, h_dst):
-            return _sddmm_aligned(dir_, h_src, h_dst, csr_to_slot, interp)
+            return _sddmm_visits(dir_, h_src, h_dst, cfirst_arr, interp)
 
         def apply_fwd(h_src, h_dst):
             return apply_fn(h_src, h_dst), (h_src, h_dst)
@@ -115,7 +114,7 @@ class SddmmOperator:
         return self._apply(h_src, h_dst)
 
 
-def _sddmm_aligned(dir_, h_src, h_dst, csr_to_slot, interpret):
+def _sddmm_visits(dir_, h_src, h_dst, cfirst, interpret):
     d_feat = h_src.shape[1]
     d_pad = _round_up(d_feat, LANE)
     n_rows_pad = _round_up(max(dir_.n_rows, ROW_BLK), ROW_BLK)
@@ -123,42 +122,43 @@ def _sddmm_aligned(dir_, h_src, h_dst, csr_to_slot, interpret):
         h_src = jnp.pad(h_src, ((0, 0), (0, d_pad - d_feat)))
         h_dst = jnp.pad(h_dst, ((0, 0), (0, d_pad - d_feat)))
     h_src_p = jnp.pad(h_src, ((0, n_rows_pad - h_src.shape[0]), (0, 0)))
-    dst_al = _gather_rows(h_dst, dir_.recv_al, dir_.n_cols)  # [E_al, d]
+    # bare clamped gather; foreign/pad edges zero out via the one-hot
+    dst_ord = jnp.take(h_dst, dir_.recv_clamped, axis=0)  # [E_ch, d]
 
-    e_al = dir_.recv_al.shape[0]
-    n_chunks = e_al // E_CHUNK
+    e_ch = dir_.e_ch
     out = pl.pallas_call(
         _sddmm_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(n_chunks,),
+            num_scalar_prefetch=3,
+            grid=(int(dir_.bid.shape[0]),),
             in_specs=[
-                pl.BlockSpec((1, E_CHUNK), lambda k, *_: (0, k),
+                pl.BlockSpec((1, E_CHUNK),
+                             lambda k, bid, cs, cfirst: (0, cs[k]),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ROW_BLK, d_pad), lambda k, bid, first: (bid[k], 0),
+                pl.BlockSpec((ROW_BLK, d_pad),
+                             lambda k, bid, cs, cfirst: (bid[k], 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((E_CHUNK, d_pad), lambda k, *_: (k, 0),
+                pl.BlockSpec((E_CHUNK, d_pad),
+                             lambda k, bid, cs, cfirst: (cs[k], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (E_CHUNK // LANE, LANE), lambda k, *_: (k, 0),
+                (E_CHUNK // LANE, LANE),
+                lambda k, bid, cs, cfirst: (cs[k], 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((e_al // LANE, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((e_ch // LANE, LANE), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_al * ROW_BLK * d_pad + 2 * e_al * d_pad,
-            bytes_accessed=e_al * (4 * d_pad + 8) + n_rows_pad * d_pad * 4,
+            flops=2 * e_ch * ROW_BLK * d_pad + 2 * e_ch * d_pad,
+            bytes_accessed=e_ch * (4 * d_pad + 8) + n_rows_pad * d_pad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(dir_.block_id, dir_.first, dir_.send_al.reshape(1, e_al), h_src_p,
-      dst_al)
-    # un-align back to CSR edge order; out-of-range slots (shouldn't occur
-    # for real edges) -> 0
-    out_flat = out.reshape(e_al)
-    vals = jnp.concatenate([out_flat, jnp.zeros((1,), out_flat.dtype)])
-    return vals[jnp.minimum(csr_to_slot, e_al)]
+    )(dir_.bid, dir_.cs, cfirst, dir_.senders.reshape(1, e_ch), h_src_p,
+      dst_ord)
+    # output is already in CSR edge order — just drop the chunk padding
+    return out.reshape(e_ch)[: dir_.e_pad]
 
 
 def sddmm_dot_pallas(graph: BipartiteGraph, h_src: Array, h_dst: Array,

@@ -1,24 +1,36 @@
-"""Pallas TPU SpMM: sorted-segment reduction via one-hot MXU matmuls.
+"""Pallas TPU SpMM: sorted-segment reduction via weighted one-hot MXU matmuls.
 
 Where the time goes (measured on v5e, 2M edges, d=128, fp32):
 
 * random row gather ``x[receivers]`` — XLA's hardware gather path reaches
-  ~46% of HBM peak (5.4 ms); a hand-rolled per-edge DMA or one-hot gather
+  ~40% of HBM peak (~6.5 ms); a hand-rolled per-edge DMA or one-hot gather
   over HBM-resident tables is strictly worse, so the gather stays on XLA.
 * the sorted segment reduction — XLA lowers it to scatter-add at ~19.6 ms.
-  **This kernel replaces it**: edges are CSR-sorted, so each 128-row output
-  block owns a contiguous edge range; the kernel streams that range in
-  chunks (double-buffered DMA from HBM) and reduces each chunk with one
-  MXU matmul ``onehot(rows x chunk) @ values(chunk x d)``.  The one-hot is
-  built on the VPU from a broadcasted iota compare — scatter becomes
-  matmul, which is what the MXU is for.
+  **This kernel replaces it** (~5.5 ms incl. the edge-weight multiply):
+  edges are CSR-sorted, so each 128-row output block owns a contiguous
+  edge range.  The grid is a *chunk-visit schedule* over the raw CSR edge
+  chunks — grid step k processes chunk ``cs[k]`` into output block
+  ``bid[k]``; a chunk straddling a block boundary is visited once per
+  block (Mosaic keeps it resident in VMEM, so it is only DMA'd once).
+  Each visit reduces its chunk with a *weighted* one-hot MXU matmul
+  ``where(rows == senders - row0, w, 0) @ values`` — scatter, masking and
+  the edge-weight multiply are all one matmul, which is what the MXU is
+  for.
 
-Sortedness makes over-reads at chunk boundaries self-masking: an edge
-belonging to a different row block produces a local row id outside
-[0, 128) and a zero one-hot column, so no explicit masking is needed.
+Because the schedule works directly on the CSR edge order, **runtime
+per-edge weights (attention coefficients) stream in with zero reordering
+cost** — the aligned-permutation layout this replaced paid a ~19 ms
+scalar re-gather for runtime weights at 2M edges (or ~4 ms via batched
+window slices; XLA has no fast path for either).
 
-Cost: 2 * 128 * d FLOP per edge (33 KFLOP at d=128) -> ~1.7 ms MXU time for
-2M edges at 40 TF/s fp32, overlapped with ~1.3 ms of HBM streaming.
+Self-masking: an edge belonging to a different row block produces a local
+row id outside [0, 128) and a zero one-hot column, so boundary chunks and
+pad edges (sender sentinel) need no explicit masking.
+
+Precision: the weighted one-hot is not exactly representable in bf16, so
+both operands are split hi/lo and the lo·lo term dropped — 3 bf16 MXU
+passes for ~5e-6 relative error (``precision='bf16'`` does 1 pass at
+~2^-8).
 
 Replaces the reference's dense aggregation matmuls (``train.py:112-114``,
 ``model.py:37``) at graph scale.
@@ -196,176 +208,117 @@ def _gather_rows(x, idx, n):
 
 
 # ---------------------------------------------------------------------------
-# Aligned fast path: chunk-aligned edge layout + Mosaic-pipelined reduction.
+# Fast path: chunk-visit schedule over the raw CSR edge chunks.
 #
 # ``segment_reduce_sorted`` above hides DMA latency only within one row
 # block; with ~2 chunks per block the first chunk's latency is always
-# exposed (~5-10 us/block).  The aligned layout instead pads every row
-# block's edge range to a whole number of E_CHUNK chunks (host-side, once
-# per graph) so the kernel becomes a plain blocked pallas_call: Mosaic
-# prefetches input chunks arbitrarily deep, and consecutive chunks mapping
-# to the same output block accumulate in VMEM without flushing (the output
-# block is only written when the scalar-prefetched block id changes).
-# Padding overhead: < E_CHUNK edges per row block (~26% at 2M edges/1024
-# blocks), traded for fully-hidden DMA latency.
+# exposed (~5-10 us/block).  The visit schedule instead enumerates
+# (block, chunk) pairs host-side (once per graph) so the kernel becomes a
+# plain blocked pallas_call: Mosaic prefetches input chunks arbitrarily
+# deep, consecutive visits of one block accumulate in VMEM without
+# flushing (the output block index only changes when ``bid`` does), and a
+# boundary chunk shared by two blocks is kept resident rather than
+# re-DMA'd.  Extra cost vs a per-block-padded layout: boundary chunks are
+# *processed* twice (~35% more one-hot matmuls at 2M edges) — cheaper
+# than the runtime permutes that layout forces on per-edge weights.
 # ---------------------------------------------------------------------------
 
 
-def _aligned_reduce_kernel(block_id_ref, first_ref, senders_ref, vals_ref,
-                           out_ref):
+def _visit_kernel(bid_ref, cs_ref, first_ref, last_ref, senders_ref, w_ref,
+                  vals_ref, out_ref):
+    """Weighted visit reduce: ``out[s] += w[e] * v[e]`` over chunk cs[k].
+
+    The edge weight rides inside the one-hot (``where(sel, w, 0)``): the
+    MXU applies it during the scatter matmul, so no separate elementwise
+    pass over the (E, d) gathered array exists in HBM (~3.5 ms saved at
+    2M edges, d=128).  Invalid and foreign edges self-mask via their
+    out-of-range local row id.
+    """
     k = pl.program_id(0)
 
     @pl.when(first_ref[k] != 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    row0 = block_id_ref[k] * ROW_BLK
+    row0 = bid_ref[k] * ROW_BLK
     local = senders_ref[:] - row0  # [1, E_CHUNK]
     rows = jax.lax.broadcasted_iota(
         jnp.int32, (ROW_BLK, senders_ref.shape[1]), 0
     )
-    onehot = (rows == local).astype(jnp.bfloat16)
+    sel = rows == local
+    w = w_ref[:]
     v = vals_ref[:]
     if v.dtype == jnp.bfloat16:
-        # fast mode: values arrive bf16 (half the HBM traffic), one MXU pass
-        out_ref[:] += jnp.dot(onehot, v, preferred_element_type=jnp.float32)
+        oh = jnp.where(sel, w, 0.0).astype(jnp.bfloat16)
+        out_ref[:] += jnp.dot(oh, v, preferred_element_type=jnp.float32)
     else:
-        # 0/1 one-hot is exact in bf16; split the fp32 values into
-        # hi + lo bf16 halves so two bf16 MXU passes give ~fp32 results
-        # (raw bf16 truncation costs ~2^-8 relative error).
-        hi = v.astype(jnp.bfloat16)
-        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out_ref[:] += jnp.dot(
-            onehot, hi, preferred_element_type=jnp.float32
-        ) + jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
+        oh = jnp.where(sel, w, 0.0)
+        oh_hi = oh.astype(jnp.bfloat16)
+        oh_lo = (oh - oh_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        v_hi = v.astype(jnp.bfloat16)
+        v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out_ref[:] += (
+            jnp.dot(oh_hi, v_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(oh_hi, v_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(oh_lo, v_hi, preferred_element_type=jnp.float32)
+        )
 
 
-def _aligned_layout(senders_np, row_ptr_np, n_src, e_pad):
-    """Host-side: chunk-aligned edge permutation.
+def _chunk_schedule(row_ptr_np, n_rows, n_chunks):
+    """Host-side (block, chunk) visit schedule.
 
-    Returns (slot_to_edge [E_al] int32 with sentinel e_pad for padding,
-    senders_aligned [E_al], block_id [C], first [C]) where C = E_al/E_CHUNK.
-    Every row block (ROW_BLK rows) gets at least one chunk.
+    Returns (bid, cs, first, last): for grid step k, process edge chunk
+    ``cs[k]`` into output row block ``bid[k]``; ``first``/``last`` flag
+    the first/last visit of each block.  Every block gets >= 1 visit
+    (blocks with no edges still need their zero-fill + flush).
     """
-    n_pad = _round_up(max(n_src, ROW_BLK), ROW_BLK)
+    n_pad = _round_up(max(n_rows, ROW_BLK), ROW_BLK)
     blocks = n_pad // ROW_BLK
-    row_ptr_np = np.asarray(row_ptr_np, np.int64)
-    b_rows = np.minimum(np.arange(blocks + 1) * ROW_BLK, n_src)
-    lo = row_ptr_np[b_rows[:-1]]
-    cnt = row_ptr_np[b_rows[1:]] - lo
-    n_chunks = np.maximum(1, -(-cnt // E_CHUNK))
-    slots_per_block = n_chunks * E_CHUNK
-    offsets = np.concatenate([[0], np.cumsum(slots_per_block)])
-    total = int(offsets[-1])
-    block_of_slot = np.repeat(np.arange(blocks, dtype=np.int64),
-                              slots_per_block)
-    within = np.arange(total, dtype=np.int64) - offsets[block_of_slot]
-    slot_to_edge = np.where(
-        within < cnt[block_of_slot], lo[block_of_slot] + within, e_pad
-    ).astype(np.int32)
-    chunk_total = int(n_chunks.sum())
-    block_ids = np.repeat(np.arange(blocks, dtype=np.int32), n_chunks)
-    firsts = np.zeros(chunk_total, np.int32)
-    firsts[np.concatenate([[0], np.cumsum(n_chunks)[:-1]])] = 1
-    senders_al = np.where(
-        slot_to_edge < e_pad,
-        np.concatenate([senders_np, [n_pad]])[
-            np.minimum(slot_to_edge, e_pad)
-        ],
-        n_pad,
-    ).astype(np.int32)
-    return (
-        slot_to_edge,
-        senders_al,
-        np.asarray(block_ids, np.int32),
-        np.asarray(firsts, np.int32),
+    ptr = np.asarray(row_ptr_np, np.int64)
+    b_rows = np.minimum(np.arange(blocks + 1) * ROW_BLK, n_rows)
+    lo = ptr[b_rows[:-1]]
+    hi = ptr[b_rows[1:]]
+    c_lo = np.minimum(lo // E_CHUNK, n_chunks - 1)
+    c_hi = np.minimum(
+        np.where(hi > lo, (hi - 1) // E_CHUNK, c_lo), n_chunks - 1
     )
-
-
-def _aligned_reduce(vals_al, senders_al, block_id, first, n_src,
-                    interpret: bool):
-    """vals_al: [E_al, d_pad] chunk-aligned edge values (f32 or bf16)."""
-    e_al, d_pad = vals_al.shape
-    n_pad = _round_up(max(n_src, ROW_BLK), ROW_BLK)
-    n_chunks = e_al // E_CHUNK
-    out = pl.pallas_call(
-        _aligned_reduce_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(n_chunks,),
-            in_specs=[
-                pl.BlockSpec((1, E_CHUNK), lambda k, *_: (0, k),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((E_CHUNK, d_pad), lambda k, *_: (k, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (ROW_BLK, d_pad), lambda k, bid, first: (bid[k], 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * e_al * ROW_BLK * d_pad,
-            bytes_accessed=e_al * (4 * d_pad + 4) + n_pad * d_pad * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(block_id, first, senders_al.reshape(1, e_al), vals_al)
-    return out[:n_src]
-
+    nvis = (c_hi - c_lo + 1).astype(np.int64)
+    total = int(nvis.sum())
+    off = np.concatenate([[0], np.cumsum(nvis)[:-1]])
+    bid = np.repeat(np.arange(blocks, dtype=np.int32), nvis)
+    cs = (
+        np.arange(total, dtype=np.int64) - off[bid] + c_lo[bid]
+    ).astype(np.int32)
+    first = np.zeros(total, np.int32)
+    first[off] = 1
+    last = np.zeros(total, np.int32)
+    last[np.concatenate([off[1:] - 1, [total - 1]])] = 1
+    return bid, cs, first, last
 
 
 @dataclasses.dataclass(frozen=True)
 class _Direction:
-    """Precomputed chunk-aligned layout for one SpMM direction."""
+    """Precomputed CSR arrays + visit schedule for one SpMM direction.
 
-    recv_al: Array      # [E_al] int32 gather index into x (pad -> n_cols)
-    send_al: Array      # [E_al] int32 output row (pad -> n_rows_pad)
-    slot_to_edge: Array  # [E_al] int32 CSR edge index (pad -> e_pad)
-    block_id: Array     # [C] int32
-    first: Array        # [C] int32
+    All edge arrays are in this direction's own sort order (by output
+    row), padded to an E_CHUNK multiple.  ``perm`` maps this order back
+    to the graph's CSR edge order for runtime weight reordering — None
+    for the forward direction, whose order *is* the CSR order (runtime
+    weights then stream in with no reorder at all).
+    """
+
+    senders: Array       # [E_ch] int32 output row per edge (pad -> n_pad)
+    recv_clamped: Array  # [E_ch] int32 gather index, clamped to n_cols-1
+    w_static: Array      # [E_ch] f32 graph weights in this order (pad -> 0)
+    perm: Optional[Array]  # [E_ch] int32 -> CSR edge id (pad -> e_pad)
+    bid: Array           # [C] int32
+    cs: Array            # [C] int32
+    first: Array         # [C] int32
+    last: Array          # [C] int32
     n_rows: int
     n_cols: int
     e_pad: int
-
-
-def _make_direction(senders_np, receivers_np, row_ptr_np, n_rows, n_cols,
-                    edge_to_csr_np) -> _Direction:
-    e_pad = len(senders_np)
-    slot_to_edge, senders_al, block_id, first = _aligned_layout(
-        senders_np, row_ptr_np, n_rows, e_pad
-    )
-    recv_ext = np.concatenate([receivers_np, [n_cols]]).astype(np.int64)
-    recv_al = recv_ext[np.minimum(slot_to_edge, e_pad)].astype(np.int32)
-    # map aligned slot -> CSR edge id (for runtime edge_weight reordering)
-    csr_ext = np.concatenate([edge_to_csr_np, [e_pad]]).astype(np.int64)
-    slot_to_csr = csr_ext[np.minimum(slot_to_edge, e_pad)].astype(np.int32)
-    d = _Direction(
-        # built as host numpy so construction inside a jit trace never
-        # captures trace-local tracers ...
-        recv_al=np.asarray(recv_al),
-        send_al=np.asarray(senders_al),
-        slot_to_edge=np.asarray(slot_to_csr),
-        block_id=np.asarray(block_id),
-        first=np.asarray(first),
-        n_rows=int(n_rows),
-        n_cols=int(n_cols),
-        e_pad=int(e_pad),
-    )
-    # ... but committed to device when built at top level: numpy closures
-    # lower into the HLO as literal constants (a 50M-edge layout blows the
-    # program size), while device arrays become runtime parameters.
-    if _trace_state_clean():
-        d = dataclasses.replace(
-            d,
-            recv_al=jnp.asarray(d.recv_al),
-            send_al=jnp.asarray(d.send_al),
-            slot_to_edge=jnp.asarray(d.slot_to_edge),
-            block_id=jnp.asarray(d.block_id),
-            first=jnp.asarray(d.first),
-        )
-    return d
+    e_ch: int
 
 
 def _trace_state_clean() -> bool:
@@ -375,41 +328,155 @@ def _trace_state_clean() -> bool:
         return False
 
 
-def _direction_apply(d: _Direction, x, w_csr, interpret: bool,
-                     precision: str = "f32"):
-    """A_dir @ x with CSR-ordered edge weights ``w_csr`` ([e_pad]).
+def _make_direction(senders_np, receivers_np, w_np, row_ptr_np, n_rows,
+                    n_cols, perm_np=None) -> _Direction:
+    e_pad = len(senders_np)
+    e_ch = _round_up(max(e_pad, E_CHUNK), E_CHUNK)
+    n_pad = _round_up(max(n_rows, ROW_BLK), ROW_BLK)
+    pad = e_ch - e_pad
+    senders = np.pad(
+        np.asarray(senders_np, np.int64), (0, pad), constant_values=n_pad
+    ).astype(np.int32)
+    recv_cl = np.minimum(
+        np.pad(np.asarray(receivers_np, np.int64), (0, pad),
+               constant_values=n_cols),
+        n_cols - 1,
+    ).astype(np.int32)
+    w_static = np.pad(
+        np.asarray(w_np, np.float32), (0, pad)
+    ).astype(np.float32)
+    bid, cs, first, last = _chunk_schedule(row_ptr_np, n_rows,
+                                           e_ch // E_CHUNK)
+    perm = None
+    if perm_np is not None:
+        perm = np.pad(
+            np.asarray(perm_np, np.int64), (0, pad), constant_values=e_pad
+        ).astype(np.int32)
+    d = _Direction(
+        # built as host numpy so construction inside a jit trace never
+        # captures trace-local tracers ...
+        senders=senders, recv_clamped=recv_cl, w_static=w_static, perm=perm,
+        bid=bid, cs=cs, first=first, last=last,
+        n_rows=int(n_rows), n_cols=int(n_cols), e_pad=int(e_pad),
+        e_ch=int(e_ch),
+    )
+    # ... but committed to device when built at top level: numpy closures
+    # lower into the HLO as literal constants (a 50M-edge layout blows the
+    # program size), while device arrays become runtime parameters.
+    if _trace_state_clean():
+        d = dataclasses.replace(
+            d,
+            senders=jnp.asarray(d.senders),
+            recv_clamped=jnp.asarray(d.recv_clamped),
+            w_static=jnp.asarray(d.w_static),
+            perm=None if d.perm is None else jnp.asarray(d.perm),
+            bid=jnp.asarray(d.bid),
+            cs=jnp.asarray(d.cs),
+            first=jnp.asarray(d.first),
+            last=jnp.asarray(d.last),
+        )
+    return d
 
-    ``precision='bf16'`` casts the gathered edge values to bf16 (halving
-    the random-gather and kernel-stream HBM traffic, one MXU pass instead
-    of two) with f32 accumulation — ~2^-8 relative error on inputs, the
-    standard TPU training trade.
+
+def _order_w(d: _Direction, w_csr):
+    """Reorder CSR-ordered per-edge scalars into this direction's order.
+
+    Forward: identity + pad (free).  Transpose (CSC): a true random
+    permutation — XLA's 1-element gather (~19 ms at 2M edges on v5e when
+    the weights are runtime values; constant-folded for static weights).
     """
-    # reorder weights into the aligned layout (pad slots -> weight 0)
-    w_ext = jnp.concatenate([w_csr, jnp.zeros((1,), w_csr.dtype)])
-    w_al = w_ext[jnp.minimum(d.slot_to_edge, d.e_pad)]
+    w_csr = w_csr.astype(jnp.float32)
+    if d.perm is None:
+        return jnp.pad(w_csr, (0, d.e_ch - w_csr.shape[0]))
+    w_ext = jnp.concatenate([w_csr, jnp.zeros((1,), jnp.float32)])
+    return w_ext[jnp.minimum(d.perm, d.e_pad)]
+
+
+def _visit_reduce(vals, w, d: _Direction, interpret: bool):
+    """``out[s] = sum_e w[e] * vals[e]`` over the direction's schedule.
+
+    ``vals``: [E_ch, d_pad] f32 or bf16 edge values in direction order;
+    ``w``: [E_ch] f32.
+    """
+    return _visit_reduce_raw(vals, w, d.senders, d.bid, d.cs, d.first,
+                             d.last, d.n_rows, interpret)
+
+
+def _visit_reduce_raw(vals, w, senders, bid, cs, first, last, n_rows,
+                      interpret: bool):
+    """Array-level entry (shared with ``ops.chunked``): all schedule
+    pieces as explicit arguments so callers can jit over them."""
+    e_ch, d_pad = vals.shape
+    n_pad = _round_up(max(n_rows, ROW_BLK), ROW_BLK)
+    out = pl.pallas_call(
+        _visit_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(int(bid.shape[0]),),
+            in_specs=[
+                pl.BlockSpec((1, E_CHUNK),
+                             lambda k, bid, cs, first, last: (0, cs[k]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, E_CHUNK),
+                             lambda k, bid, cs, first, last: (0, cs[k]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E_CHUNK, d_pad),
+                             lambda k, bid, cs, first, last: (cs[k], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (ROW_BLK, d_pad),
+                lambda k, bid, cs, first, last: (bid[k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_ch * ROW_BLK * d_pad,
+            bytes_accessed=e_ch * (vals.dtype.itemsize * d_pad + 8)
+            + n_pad * d_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bid, cs, first, last, senders.reshape(1, e_ch),
+      w.reshape(1, e_ch), vals)
+    return out[:n_rows]
+
+
+def _direction_apply(d: _Direction, x, w_ord, interpret: bool,
+                     precision: str = "f32"):
+    """A_dir @ x with direction-ordered edge weights ``w_ord`` ([E_ch]).
+
+    The gather is a bare clamped ``jnp.take`` — no mask, no weight
+    multiply: weights are applied inside the kernel's weighted one-hot,
+    and invalid edges are neutralised by their sender sentinel (the
+    sentinel row is either outside every block or sliced off).
+
+    ``precision='bf16'`` casts x to bf16 before the gather (halving the
+    random-gather write and kernel-stream HBM traffic, one MXU pass
+    instead of three) with f32 accumulation — ~2^-8 relative error on
+    inputs, the standard TPU training trade.
+    """
     d_feat = x.shape[1]
     d_pad = _round_up(d_feat, LANE)
     if precision == "bf16":
-        gathered = _gather_rows(x.astype(jnp.bfloat16), d.recv_al, d.n_cols)
-        gathered = gathered * w_al[:, None].astype(jnp.bfloat16)
-    else:
-        gathered = _gather_rows(x, d.recv_al, d.n_cols) * w_al[:, None]
+        x = x.astype(jnp.bfloat16)
+    gathered = jnp.take(x, d.recv_clamped, axis=0)
     if d_pad != d_feat:
         gathered = jnp.pad(gathered, ((0, 0), (0, d_pad - d_feat)))
-    out = _aligned_reduce(
-        gathered, d.send_al, d.block_id, d.first, d.n_rows, interpret
-    )
+    out = _visit_reduce(gathered, w_ord, d, interpret)
     return out[:, :d_feat]
 
 
 class SpmmOperator:
     """Differentiable Pallas SpMM bound to one graph.
 
-    Precomputes (host-side, once) chunk-aligned edge layouts for both the
-    CSR (A @ x) and CSC (A.T @ x) directions; forward and backward both run
-    the aligned Pallas reduction.  ``edge_weight`` overrides (e.g. attention
-    coefficients) are given in the graph's CSR edge order, as produced by
-    ``ops.sparse.edge_softmax``.
+    Precomputes (host-side, once) visit schedules for both the CSR
+    (A @ x) and CSC (A.T @ x) directions; forward and backward both run
+    the visit-scheduled Pallas reduction.  ``edge_weight`` overrides
+    (e.g. attention coefficients) are given in the graph's CSR edge
+    order, as produced by ``ops.sparse.edge_softmax``, and stream into
+    the forward kernel with no reordering.
     """
 
     def __init__(self, graph: BipartiteGraph, interpret: Optional[bool] = None,
@@ -423,18 +490,21 @@ class SpmmOperator:
         e_pad = graph.num_padded_edges
         s = np.asarray(graph.senders)
         r = np.asarray(graph.receivers)
+        w = np.asarray(graph.weight)
         ptr = np.asarray(graph.row_ptr)
 
         self.fwd_dir = _make_direction(
-            s, r, ptr, graph.n_src, graph.n_dst,
-            np.arange(e_pad, dtype=np.int64),
+            s, r, w, ptr, graph.n_src, graph.n_dst, perm_np=None
         )
-        # CSC: sort edges by receiver
+        # CSC: sort edges by receiver (graph pads, receiver = n_dst, sort
+        # to the tail and become the CSC direction's pad edges)
         order = np.lexsort((s[:e], r[:e]))
         csc_s = np.full(e_pad, graph.n_dst, np.int32)
         csc_r = np.full(e_pad, graph.n_src, np.int32)
+        csc_w = np.zeros(e_pad, np.float32)
         csc_s[:e] = r[order]
         csc_r[:e] = s[order]
+        csc_w[:e] = w[order]
         csc_to_csr = np.concatenate(
             [order, np.full(e_pad - e, e_pad)]
         ).astype(np.int64)
@@ -442,7 +512,8 @@ class SpmmOperator:
         np.add.at(csc_ptr[1:], csc_s[:e].astype(np.int64), 1)
         csc_ptr = np.cumsum(csc_ptr)
         self.bwd_dir = _make_direction(
-            csc_s, csc_r, csc_ptr, graph.n_dst, graph.n_src, csc_to_csr
+            csc_s, csc_r, csc_w, csc_ptr, graph.n_dst, graph.n_src,
+            perm_np=csc_to_csr,
         )
 
         fwd_dir, bwd_dir, interp = self.fwd_dir, self.bwd_dir, self.interpret
@@ -450,14 +521,16 @@ class SpmmOperator:
 
         @jax.custom_vjp
         def apply_fn(x, w):
-            return _direction_apply(fwd_dir, x, w, interp, prec)
+            return _direction_apply(fwd_dir, x, _order_w(fwd_dir, w), interp,
+                                    prec)
 
         def apply_fwd(x, w):
             return apply_fn(x, w), (x, w)
 
         def apply_bwd(res, g):
             x, w = res
-            dx = _direction_apply(bwd_dir, g, w, interp, prec)
+            dx = _direction_apply(bwd_dir, g, _order_w(bwd_dir, w), interp,
+                                  prec)
             # dw[e] = <g[send[e]], x[recv[e]]> in CSR edge order
             gs = _gather_rows(g, self.graph.senders, self.graph.n_src)
             xr = _gather_rows(x, self.graph.receivers, self.graph.n_dst)
@@ -469,14 +542,16 @@ class SpmmOperator:
 
         @jax.custom_vjp
         def apply_t_fn(x, w):
-            return _direction_apply(bwd_dir, x, w, interp, prec)
+            return _direction_apply(bwd_dir, x, _order_w(bwd_dir, w), interp,
+                                    prec)
 
         def apply_t_fwd(x, w):
             return apply_t_fn(x, w), (x, w)
 
         def apply_t_bwd(res, g):
             x, w = res
-            dx = _direction_apply(fwd_dir, g, w, interp, prec)
+            dx = _direction_apply(fwd_dir, g, _order_w(fwd_dir, w), interp,
+                                  prec)
             gs = _gather_rows(g, self.graph.receivers, self.graph.n_dst)
             xs = _gather_rows(x, self.graph.senders, self.graph.n_src)
             dw = jnp.sum(gs * xs, axis=-1)
@@ -485,6 +560,39 @@ class SpmmOperator:
         apply_t_fn.defvjp(apply_t_fwd, apply_t_bwd)
         self._apply_t = apply_t_fn
 
+        # static-weight fast paths (edge_weight=None): use each
+        # direction's precomputed ordered weights — the transpose then
+        # never pays the runtime CSC permutation, and no dw is computed
+        @jax.custom_vjp
+        def apply_static(x):
+            return _direction_apply(fwd_dir, x, fwd_dir.w_static, interp,
+                                    prec)
+
+        def apply_static_fwd(x):
+            return apply_static(x), None
+
+        def apply_static_bwd(_, g):
+            return (_direction_apply(bwd_dir, g, bwd_dir.w_static, interp,
+                                     prec),)
+
+        apply_static.defvjp(apply_static_fwd, apply_static_bwd)
+        self._apply_static = apply_static
+
+        @jax.custom_vjp
+        def apply_t_static(x):
+            return _direction_apply(bwd_dir, x, bwd_dir.w_static, interp,
+                                    prec)
+
+        def apply_t_static_fwd(x):
+            return apply_t_static(x), None
+
+        def apply_t_static_bwd(_, g):
+            return (_direction_apply(fwd_dir, g, fwd_dir.w_static, interp,
+                                     prec),)
+
+        apply_t_static.defvjp(apply_t_static_fwd, apply_t_static_bwd)
+        self._apply_t_static = apply_t_static
+
     @staticmethod
     def build(graph: BipartiteGraph, interpret: Optional[bool] = None,
               precision: str = "f32"):
@@ -492,12 +600,14 @@ class SpmmOperator:
 
     def __call__(self, x: Array, *, edge_weight: Optional[Array] = None,
                  transpose: bool = False) -> Array:
-        w = edge_weight if edge_weight is not None else self.graph.weight
-        return self._apply_t(x, w) if transpose else self._apply(x, w)
+        if edge_weight is None:
+            return (self._apply_t_static if transpose
+                    else self._apply_static)(x)
+        return (self._apply_t if transpose else self._apply)(x, edge_weight)
 
 
 # Operators are cached per graph identity so repeated layer calls under one
-# trace (multi-head models) share the host-side aligned layout.
+# trace (multi-head models) share the host-side schedule.
 _OP_CACHE: dict = {}
 
 
