@@ -170,11 +170,20 @@ def bench_flagship(
     w = jnp.ones(batch_size, jnp.float32)
     key = jax.random.key(0)
 
-    def run_step(state):
-        new_state, loss = step(state, batch, labels, w, key)
-        return loss
+    # the train step donates the state (trainer.py), so the timing loop
+    # must chain states — re-calling with a donated buffer is a runtime
+    # error on the TPU backend
+    def run_chain(state, n):
+        loss = None
+        for _ in range(n):
+            state, loss = step(state, batch, labels, w, key)
+        jax.block_until_ready(loss)
+        return state
 
-    t_ours = _timeit(run_step, state, iters=iters)
+    state = run_chain(state, 3)  # warmup / compile
+    t0 = time.perf_counter()
+    state = run_chain(state, iters)
+    t_ours = (time.perf_counter() - t0) / iters
 
     # ---- dense reference-style baseline (forward + backward + adam) ----
     b_n = baseline_n or fg.n_src

@@ -37,9 +37,9 @@ from .spmm import (
     LANE,
     ROW_BLK,
     SpmmOperator,
-    _gather_rows,
     _order_w,
     _round_up,
+    _sddmm_visits,
 )
 
 Array = jax.Array
@@ -209,9 +209,7 @@ class FlashGATOperator:
             # dx = A(att).T @ gout — Pallas transpose SpMM
             dx = spmm_op(gout, edge_weight=att, transpose=True)
             # dl_e = att_e * (<g[row_e], x[col_e]> - <g[row_e], out[row_e]>)
-            gs = _gather_rows(gout, g.senders, g.n_src)
-            xr = _gather_rows(x, g.receivers, g.n_dst)
-            dot_gx = jnp.sum(gs * xr, axis=-1)
+            dot_gx = _sddmm_visits(dir_, gout, x, interp)
             d_row = jnp.sum(gout * out, axis=-1)
             d_e = jnp.take(
                 jnp.concatenate([d_row, jnp.zeros((1,), d_row.dtype)]),
