@@ -39,7 +39,7 @@ from .spmm import (
     SpmmOperator,
     _order_w,
     _round_up,
-    _sddmm_visits,
+    _visit_reduce_raw,
 )
 
 Array = jax.Array
@@ -149,6 +149,127 @@ def _flash_visits(dir_, logits_ord, x_ord, interpret):
     return outa, ms
 
 
+def _flash_bwd_kernel(bid_ref, cs_ref, cfirst_ref, send_ref, logit_ref,
+                      xg_ref, gout_ref, out_ref, lse_ref, dl_ref, z_ref):
+    """Fused flash-GAT backward pass over one chunk visit.
+
+    Recomputes ``att_e = exp(l_e - lse[row_e])`` with the row-side terms
+    (lse, <gout, out>) selected *block-locally* through the one-hot — the
+    three 2M-element scalar gathers of the unfused backward (~55 ms at 2M
+    edges on v5e) never happen.  Emits both the logit gradient
+    ``dl_e = att_e (<gout[row_e], x[col_e]> - <gout[row_e], out[row_e]>)``
+    and the weighted edge values ``z_e = att_e * gout[row_e]`` that the
+    dx reduction consumes (CSR order; chunk-accumulated like SDDMM).
+    """
+    k = pl.program_id(0)
+
+    @pl.when(cfirst_ref[k] != 0)
+    def _():
+        dl_ref[:] = jnp.zeros_like(dl_ref)
+        z_ref[:] = jnp.zeros_like(z_ref)
+
+    row0 = bid_ref[k] * ROW_BLK
+    local = send_ref[:] - row0                     # [1, E_CHUNK]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLK, E_CHUNK), 0)
+    onehot_b = rows == local
+    valid = jnp.any(onehot_b, axis=0, keepdims=True)           # [1, E]
+
+    # per-edge lse via block-local select (empty rows hold NEG — excluded
+    # from `valid` edges by construction)
+    lse_col = lse_ref[:]                                        # [RB, 1]
+    lse_sel = jnp.sum(jnp.where(onehot_b, lse_col, 0.0), axis=0,
+                      keepdims=True)                            # [1, E]
+    l = logit_ref[:]
+    att = jnp.where(valid,
+                    jnp.exp(jnp.where(valid, l - lse_sel, 0.0)), 0.0)
+
+    # gathered gout rows per edge: transposed one-hot on the MXU (hi/lo)
+    local_c = send_ref[:].reshape(E_CHUNK, 1) - row0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (E_CHUNK, ROW_BLK), 1)
+    onehot_t = (cols == local_c).astype(jnp.bfloat16)
+    gb = gout_ref[:]
+    g_hi = gb.astype(jnp.bfloat16)
+    g_lo = (gb - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    gathered_g = jnp.dot(onehot_t, g_hi, preferred_element_type=jnp.float32)
+    gathered_g += jnp.dot(onehot_t, g_lo, preferred_element_type=jnp.float32)
+
+    z = att.reshape(E_CHUNK, 1) * gathered_g                    # [E, d]
+    z_ref[:] += z
+
+    # att * <gout[row], x[col]> == <z, x>  (att already folded into z)
+    att_dot_gx = jnp.sum(z * xg_ref[:], axis=1)                 # [E]
+    d_row = jnp.sum(gb * out_ref[:], axis=1, keepdims=True)     # [RB, 1]
+    d_sel = jnp.sum(jnp.where(onehot_b, d_row, 0.0), axis=0,
+                    keepdims=True)                              # [1, E]
+    dl = att_dot_gx.reshape(1, E_CHUNK) - att * d_sel
+    dl_ref[:] += dl.reshape(dl_ref.shape)
+
+
+def _flash_bwd_visits(dir_, logits_ord, x, gout, out, lse, interpret):
+    """Returns (dlogits [e_pad] CSR order, z [E_ch, d_pad] CSR order)."""
+    d_feat = x.shape[1]
+    d_pad = _round_up(d_feat, LANE)
+    n_pad = _round_up(max(dir_.n_rows, ROW_BLK), ROW_BLK)
+    xg = jnp.take(x, dir_.recv_clamped, axis=0)                 # [E_ch, d]
+    if d_pad != d_feat:
+        xg = jnp.pad(xg, ((0, 0), (0, d_pad - d_feat)))
+        gout = jnp.pad(gout, ((0, 0), (0, d_pad - d_feat)))
+        out = jnp.pad(out, ((0, 0), (0, d_pad - d_feat)))
+    gout_p = jnp.pad(gout, ((0, n_pad - gout.shape[0]), (0, 0)))
+    out_p = jnp.pad(out, ((0, n_pad - out.shape[0]), (0, 0)))
+    lse_p = jnp.pad(lse, (0, n_pad - lse.shape[0]),
+                    constant_values=NEG).reshape(n_pad, 1)
+    e_ch = dir_.e_ch
+
+    dl, z = pl.pallas_call(
+        _flash_bwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(int(dir_.bid.shape[0]),),
+            in_specs=[
+                pl.BlockSpec((1, E_CHUNK),
+                             lambda k, bid, cs, cf: (0, cs[k]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, E_CHUNK),
+                             lambda k, bid, cs, cf: (0, cs[k]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E_CHUNK, d_pad),
+                             lambda k, bid, cs, cf: (cs[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLK, d_pad),
+                             lambda k, bid, cs, cf: (bid[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLK, d_pad),
+                             lambda k, bid, cs, cf: (bid[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLK, 1),
+                             lambda k, bid, cs, cf: (bid[k], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((E_CHUNK // LANE, LANE),
+                             lambda k, bid, cs, cf: (cs[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E_CHUNK, d_pad),
+                             lambda k, bid, cs, cf: (cs[k], 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((e_ch // LANE, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((e_ch, d_pad), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_ch * ROW_BLK * d_pad + 4 * e_ch * d_pad,
+            bytes_accessed=e_ch * (8 * d_pad + 12) + 3 * n_pad * d_pad * 4,
+            transcendentals=e_ch,
+        ),
+        interpret=interpret,
+    )(dir_.bid, dir_.cs, dir_.cfirst, dir_.senders.reshape(1, e_ch),
+      logits_ord.reshape(1, e_ch), xg, gout_p, out_p, lse_p)
+    return dl.reshape(e_ch)[: dir_.e_pad], z
+
+
 class FlashGATOperator:
     """Differentiable fused attention bound to one graph.
 
@@ -200,23 +321,24 @@ class FlashGATOperator:
 
         def apply_bwd(res, gout):
             logits, x, out, lse = res
-            # att_e = exp(l_e - lse[row_e]) — cheap scalar gathers
-            lse_e = jnp.take(
-                jnp.concatenate([lse, jnp.zeros((1,), lse.dtype)]),
-                jnp.minimum(g.senders, g.n_src),
+            # one fused CSR pass: dlogits + the weighted edge values
+            # z_e = att_e * gout[row_e] (att recomputed in-kernel from the
+            # saved logsumexp — no 2M-element scalar gathers)
+            dl, z = _flash_bwd_visits(
+                dir_, _order_w(dir_, logits), x, gout, out, lse, interp
             )
-            att = jnp.where(g.edge_mask, jnp.exp(logits - lse_e), 0.0)
-            # dx = A(att).T @ gout — Pallas transpose SpMM
-            dx = spmm_op(gout, edge_weight=att, transpose=True)
-            # dl_e = att_e * (<g[row_e], x[col_e]> - <g[row_e], out[row_e]>)
-            dot_gx = _sddmm_visits(dir_, gout, x, interp)
-            d_row = jnp.sum(gout * out, axis=-1)
-            d_e = jnp.take(
-                jnp.concatenate([d_row, jnp.zeros((1,), d_row.dtype)]),
-                jnp.minimum(g.senders, g.n_src),
-            )
-            dlogits = att * (dot_gx - d_e)
-            return dlogits, dx
+            # dx[col] = sum_e z_e: row-gather z into CSC order, reduce
+            # over the transpose schedule with a static 0/1 edge mask
+            # (row-gathering the (E, d) values is ~3x cheaper than the
+            # scalar permute of per-edge attention weights)
+            bwd = spmm_op.bwd_dir
+            mask = (bwd.perm < jnp.int32(bwd.e_pad)).astype(jnp.float32)
+            zc = jnp.take(z, jnp.minimum(bwd.perm, z.shape[0] - 1), axis=0)
+            dx = _visit_reduce_raw(
+                zc, mask, bwd.senders, bwd.bid, bwd.cs, bwd.first,
+                bwd.last, bwd.n_rows, interp
+            )[:, : x.shape[1]]
+            return dl, dx
 
         apply_fn.defvjp(apply_fwd, apply_bwd)
         self._apply = apply_fn

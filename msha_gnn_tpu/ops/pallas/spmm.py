@@ -282,6 +282,11 @@ def _chunk_schedule(row_ptr_np, n_rows, n_chunks):
     c_hi = np.minimum(
         np.where(hi > lo, (hi - 1) // E_CHUNK, c_lo), n_chunks - 1
     )
+    # the last block sweeps to the final chunk so EVERY chunk gets >= 1
+    # visit: chunk-indexed outputs (SDDMM logits, flash-backward edge
+    # values) would otherwise leave uninitialised memory in never-visited
+    # trailing pad chunks (the extra visits one-hot to nothing)
+    c_hi[-1] = n_chunks - 1
     nvis = (c_hi - c_lo + 1).astype(np.int64)
     total = int(nvis.sum())
     off = np.concatenate([[0], np.cumsum(nvis)[:-1]])
