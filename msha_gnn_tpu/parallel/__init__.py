@@ -5,6 +5,7 @@ from .mesh import (
     replicated,
     row_and_col_sharded,
 )
+from .dist_spmm import DistributedSpmm, RingSpmm
 from .partition import balanced_edge_partition, partition_edges_by_src
 from .sharded import make_sharded_msha_step, run_one_sharded_step, state_shardings
 
@@ -14,6 +15,8 @@ __all__ = [
     "data_sharded",
     "model_sharded_cols",
     "row_and_col_sharded",
+    "DistributedSpmm",
+    "RingSpmm",
     "partition_edges_by_src",
     "balanced_edge_partition",
     "state_shardings",

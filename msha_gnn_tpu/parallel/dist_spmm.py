@@ -131,3 +131,109 @@ class DistributedSpmm:
         shard = NamedSharding(self.mesh, P("data", None))
         x_p = jax.device_put(x_p, shard)
         return self._fwd(self.senders, self.receivers, self.weights, x_p)
+
+
+class RingSpmm:
+    """Edge-partitioned SpMM with a ring schedule over the destination
+    shards — the comm/compute-overlap formulation (SURVEY §5.8).
+
+    ``DistributedSpmm`` all-gathers the full destination feature matrix
+    before computing: peak per-device memory is O(n_dst · d) and the
+    exchange serialises ahead of the compute.  The ring instead keeps
+    features sharded: at step t, device i holds destination shard
+    ``(i + t) % K``, reduces the local edge *bucket* targeting that shard,
+    and ``ppermute``s the shard around the ring — the next shard's
+    transfer rides ICI while the current bucket's segment-sum runs (XLA
+    emits collective-permute-start/done around the compute).  Peak memory
+    is O(n_dst · d / K) and the boundary exchange is fully overlapped.
+
+    Host-side, each device's edges are bucketed by destination shard and
+    padded to the global max bucket size; senders are localised to the
+    device's row range (row-partition outputs are disjoint, so the result
+    is a plain concatenation — no reduction collective at all).
+    """
+
+    def __init__(self, graph: BipartiteGraph, mesh: Mesh):
+        self.graph = graph
+        self.mesh = mesh
+        k = mesh.shape["data"]
+        self.k = k
+        n_src, n_dst = graph.n_src, graph.n_dst
+        row_blk = -(-n_src // k)   # rows per device
+        dst_blk = -(-n_dst // k)   # dst rows per shard
+        self.row_blk, self.dst_blk = row_blk, dst_blk
+
+        e = graph.num_edges
+        s = np.asarray(graph.senders)[:e]
+        r = np.asarray(graph.receivers)[:e]
+        w = np.asarray(graph.weight)[:e]
+        dev = np.minimum(s // row_blk, k - 1)
+        shard = np.minimum(r // dst_blk, k - 1)
+        counts = np.zeros((k, k), np.int64)
+        np.add.at(counts, (dev, shard), 1)
+        e_b = max(int(counts.max()), 8)
+
+        s_b = np.full((k, k, e_b), row_blk, np.int32)      # local sentinel
+        rl_b = np.zeros((k, k, e_b), np.int32)             # clamped local
+        w_b = np.zeros((k, k, e_b), np.float32)
+        order = np.lexsort((r, shard, dev))
+        s_o, r_o, w_o = s[order], r[order], w[order]
+        dev_o, shard_o = dev[order], shard[order]
+        # position of each edge within its (dev, shard) bucket
+        flat = dev_o * k + shard_o
+        start = np.searchsorted(flat, np.arange(k * k))
+        pos = np.arange(e, dtype=np.int64) - start[flat]
+        s_b[dev_o, shard_o, pos] = (s_o - dev_o * row_blk).astype(np.int32)
+        rl_b[dev_o, shard_o, pos] = (r_o - shard_o * dst_blk).astype(np.int32)
+        w_b[dev_o, shard_o, pos] = w_o
+
+        shard_nd = NamedSharding(mesh, P("data", None, None))
+        self._s_b = jax.device_put(jnp.asarray(s_b), shard_nd)
+        self._rl_b = jax.device_put(jnp.asarray(rl_b), shard_nd)
+        self._w_b = jax.device_put(jnp.asarray(w_b), shard_nd)
+
+        perm = [(p, (p - 1) % k) for p in range(k)]
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P("data", None, None), P("data", None, None),
+                      P("data", None, None), P("data", None)),
+            out_specs=P("data", None),
+            check_vma=False,
+        )
+        def _fwd(s_bkt, rl_bkt, w_bkt, x_shard):
+            i = jax.lax.axis_index("data")
+            s_bkt, rl_bkt, w_bkt = s_bkt[0], rl_bkt[0], w_bkt[0]
+            d = x_shard.shape[1]
+
+            def body(t, carry):
+                x_cur, acc = carry
+                shard_id = jax.lax.rem(i + t, k)
+                # start moving the next shard while this bucket reduces
+                x_next = jax.lax.ppermute(x_cur, "data", perm=perm)
+                sb = jax.lax.dynamic_index_in_dim(s_bkt, shard_id, 0, False)
+                rb = jax.lax.dynamic_index_in_dim(rl_bkt, shard_id, 0, False)
+                wb = jax.lax.dynamic_index_in_dim(w_bkt, shard_id, 0, False)
+                gathered = jnp.take(x_cur, rb, axis=0) * wb[:, None]
+                acc = acc + jax.ops.segment_sum(
+                    gathered, sb, num_segments=row_blk + 1
+                )[:row_blk]
+                return (x_next, acc)
+
+            _, acc = jax.lax.fori_loop(
+                0, k, body,
+                (x_shard, jnp.zeros((row_blk, d), x_shard.dtype)),
+            )
+            return acc
+
+        self._ring_fwd = _fwd
+
+    def __call__(self, x):
+        pad = self.k * self.dst_blk - x.shape[0]
+        x_p = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+        x_p = jax.device_put(
+            x_p, NamedSharding(self.mesh, P("data", None))
+        )
+        out = self._ring_fwd(self._s_b, self._rl_b, self._w_b, x_p)
+        return out[: self.graph.n_src]
