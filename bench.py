@@ -70,11 +70,23 @@ def main():
         op = SpmmOperator.build(g)
         t_p = _timeit(jax.jit(lambda x: op(x)), x, iters=10)
         t_x = _timeit(jax.jit(lambda x: spmm(g, x)), x, iters=10)
+        # hardware-grounded bound: the random row gather is access-bound
+        # (the TPU gather path, not HBM bandwidth, is the limiter), so the
+        # achievable floor = measured gather + streaming floor for the
+        # reduce's inputs/outputs
+        recv = op.fwd_dir.recv_clamped
+        t_gather = _timeit(
+            jax.jit(lambda x: jnp.take(x, recv, axis=0)), x, iters=10
+        )
+        e_ch = op.fwd_dir.e_ch
+        t_stream = (e_ch * (4 * d + 8) + n * d * 4) / bw
         details["spmm_pallas"] = {
             "seconds": t_p, "edges_per_s": e / t_p,
             "speedup_vs_xla": t_x / t_p,
             "roofline_fraction": (phase / bw) / t_p,
             "strict_roofline_fraction": (strict / bw) / t_p,
+            "gather_seconds": t_gather,
+            "achievable_fraction": (t_gather + t_stream) / t_p,
         }
         details["spmm_xla"] = {"seconds": t_x, "edges_per_s": e / t_x}
         print(f"spmm done t={time.time()-t_start:.0f}s", file=sys.stderr)
