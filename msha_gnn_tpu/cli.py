@@ -2,8 +2,9 @@
 
 Replaces the reference's script-per-experiment layout (``python train.py`` /
 ``LLP.py`` / ``SGAE.py``) with one CLI: ``train`` (flow classification for
-every model preset), ``llp`` (KD link prediction), ``explain`` (attention
-top-K extraction), ``bench`` (kernel/step microbenchmarks).
+every model preset), ``eval`` (checkpoint evaluation), ``llp`` (KD link
+prediction), ``sgae``, ``linkpred``, ``explain`` (attention top-K
+extraction), ``bench`` (kernel/step microbenchmarks).
 """
 
 from __future__ import annotations
@@ -31,6 +32,38 @@ def _add_dataclass_args(parser, cls):
 def _config_from_args(cls, args):
     names = {f.name for f in dataclasses.fields(cls)}
     return cls(**{k: v for k, v in vars(args).items() if k in names})
+
+
+def _build_task(cfg, fg):
+    """Model-preset dispatch shared by ``train`` and ``eval``."""
+    from .training import gat_task, gcn_task, msha_task, sage_task
+
+    if cfg.model in ("msha", "ours", "ablation1", "ablation2", "ablation3"):
+        flags = cfg.model_flags()
+        n_heads = flags.pop("n_heads", cfg.n_heads)
+        task, variables, _ = msha_task(
+            fg, in_features=cfg.in_features, out_features=cfg.out_features,
+            n_heads=n_heads, dropout=cfg.dropout, lr=cfg.lr,
+            weight_decay=cfg.weight_decay, seed=cfg.seed, **flags,
+        )
+    elif cfg.model == "gat":
+        task, variables, _ = gat_task(
+            fg, n_heads=cfg.n_heads, dropout=cfg.dropout, lr=cfg.lr,
+            weight_decay=cfg.weight_decay, seed=cfg.seed,
+        )
+    elif cfg.model == "gcn":
+        task, variables, _ = gcn_task(
+            fg, nfeat=cfg.in_features, dropout=cfg.dropout, lr=cfg.lr,
+            weight_decay=cfg.weight_decay, seed=cfg.seed,
+        )
+    elif cfg.model == "sage":
+        task, variables, _ = sage_task(
+            fg, in_features=cfg.in_features, dropout=cfg.dropout, lr=cfg.lr,
+            weight_decay=cfg.weight_decay, seed=cfg.seed,
+        )
+    else:
+        return None
+    return task, variables
 
 
 def cmd_train(args) -> int:
@@ -61,32 +94,11 @@ def cmd_train(args) -> int:
         )
         return 2
 
-    if cfg.model in ("msha", "ours", "ablation1", "ablation2", "ablation3"):
-        flags = cfg.model_flags()
-        n_heads = flags.pop("n_heads", cfg.n_heads)
-        task, variables, _ = msha_task(
-            fg, in_features=cfg.in_features, out_features=cfg.out_features,
-            n_heads=n_heads, dropout=cfg.dropout, lr=cfg.lr,
-            weight_decay=cfg.weight_decay, seed=cfg.seed, **flags,
-        )
-    elif cfg.model == "gat":
-        task, variables, _ = gat_task(
-            fg, n_heads=cfg.n_heads, dropout=cfg.dropout, lr=cfg.lr,
-            weight_decay=cfg.weight_decay, seed=cfg.seed,
-        )
-    elif cfg.model == "gcn":
-        task, variables, _ = gcn_task(
-            fg, nfeat=cfg.in_features, dropout=cfg.dropout, lr=cfg.lr,
-            weight_decay=cfg.weight_decay, seed=cfg.seed,
-        )
-    elif cfg.model == "sage":
-        task, variables, _ = sage_task(
-            fg, in_features=cfg.in_features, dropout=cfg.dropout, lr=cfg.lr,
-            weight_decay=cfg.weight_decay, seed=cfg.seed,
-        )
-    else:
+    built = _build_task(cfg, fg)
+    if built is None:
         print(f"unknown model {cfg.model!r}", file=sys.stderr)
         return 2
+    task, variables = built
 
     src = np.asarray(fg.edge_src)
     dst = np.asarray(fg.edge_dst)
@@ -97,12 +109,55 @@ def cmd_train(args) -> int:
     trainer = Trainer(task=task, src=src, labels=dst,
                       batch_size=cfg.batch_size, seed=cfg.seed, log=log)
     state, history = trainer.fit(state, train_ids, test_ids, cfg.epochs,
-                                 rng_key=jax.random.key(cfg.seed))
+                                 rng_key=jax.random.key(cfg.seed),
+                                 profile_dir=cfg.profile_dir)
     if cfg.checkpoint_dir:
         from .training.checkpoint import save_checkpoint
 
         save_checkpoint(cfg.checkpoint_dir, state, step=int(state.step))
     print(json.dumps(history[-1]))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Evaluate a checkpointed model on the held-out split (no training).
+
+    The reference interleaves ``test()`` into every epoch (train.py:297-299)
+    and has no way to evaluate a saved model; this is the standalone
+    counterpart: restore from ``--checkpoint_dir``, run the eval pass,
+    print the metric dict.
+    """
+    from .data import load_flow_graph, train_test_split_records
+    from .training import Trainer, TrainState
+    from .training.checkpoint import latest_step, restore_checkpoint
+    from .utils import TrainConfig
+
+    cfg = _config_from_args(TrainConfig, args)
+    if not cfg.checkpoint_dir:
+        print("eval requires --checkpoint_dir", file=sys.stderr)
+        return 2
+    fg = load_flow_graph(cfg.year, cfg.data_dir)
+    built = _build_task(cfg, fg)
+    if built is None:
+        print(f"unknown model {cfg.model!r}", file=sys.stderr)
+        return 2
+    task, variables = built
+    template = TrainState.create(variables, task.tx)
+    step = latest_step(cfg.checkpoint_dir)
+    if step is None:
+        print(f"no checkpoint under {cfg.checkpoint_dir}", file=sys.stderr)
+        return 2
+    state, _, step = restore_checkpoint(cfg.checkpoint_dir, template)
+    src = np.asarray(fg.edge_src)
+    dst = np.asarray(fg.edge_dst)
+    _, test_ids = train_test_split_records(
+        fg.num_records, cfg.train_fraction, cfg.seed
+    )
+    trainer = Trainer(task=task, src=src, labels=dst,
+                      batch_size=cfg.batch_size, seed=cfg.seed)
+    metrics = trainer.evaluate(state, test_ids)
+    metrics["checkpoint_step"] = int(step)
+    print(json.dumps(metrics))
     return 0
 
 
@@ -177,6 +232,12 @@ def main(argv=None) -> int:
     p_train = sub.add_parser("train", help="flow-classification training")
     _add_dataclass_args(p_train, TrainConfig)
     p_train.set_defaults(fn=cmd_train)
+
+    p_eval = sub.add_parser(
+        "eval", help="evaluate a checkpointed model on the test split"
+    )
+    _add_dataclass_args(p_eval, TrainConfig)
+    p_eval.set_defaults(fn=cmd_eval)
 
     p_llp = sub.add_parser("llp", help="KD link prediction")
     _add_dataclass_args(p_llp, LLPConfig)

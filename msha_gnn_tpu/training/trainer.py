@@ -292,11 +292,20 @@ class Trainer:
         return report
 
     def fit(self, state: TrainState, train_ids, test_ids, epochs: int,
-            rng_key=None):
+            rng_key=None, profile_dir=None):
+        """Epoch loop; ``profile_dir`` captures a jax.profiler device trace
+        of the steady-state epochs (phases annotated train/eval)."""
+        from ..utils import prof
+
         rng_key = rng_key if rng_key is not None else jax.random.key(self.seed)
         history = []
-        for epoch in range(epochs):
-            state, loss, rng_key = self.train_epoch(state, train_ids, rng_key, epoch)
-            report = self.evaluate(state, test_ids)
-            history.append({"epoch": epoch, "train_loss": loss, **report})
+        with prof.trace(profile_dir):
+            for epoch in range(epochs):
+                with prof.annotate(f"train_epoch_{epoch}"):
+                    state, loss, rng_key = self.train_epoch(
+                        state, train_ids, rng_key, epoch
+                    )
+                with prof.annotate(f"eval_{epoch}"):
+                    report = self.evaluate(state, test_ids)
+                history.append({"epoch": epoch, "train_loss": loss, **report})
         return state, history

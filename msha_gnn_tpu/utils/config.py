@@ -29,6 +29,7 @@ class TrainConfig:
     top_k: int = 100             # explainer K (train.py:39-40)
     log_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None
+    profile_dir: Optional[str] = None  # jax.profiler trace output (§5.1)
 
     def model_flags(self):
         """Map a model preset name to MSHA-family flags."""

@@ -36,6 +36,16 @@ run('gat', gat_task, 5, 64)
 run('gcn', gcn_task, 5, 64, nfeat=64)
 run('sage', sage_task, 10, 512, in_features=32)
 
+# preserve the manually-maintained sections below the classification table
+tail = ""
+try:
+    old = open('GOLDEN.md').read()
+    idx = old.find("## Link-prediction pipelines")
+    if idx >= 0:
+        tail = old[idx:]
+except FileNotFoundError:
+    pass
+
 with open('GOLDEN.md', 'w') as f:
     f.write("# GOLDEN — end-to-end quality runs (real 2015 flow graph)\n\n")
     f.write("Fixed seed 42, reference-default configs, TPU v5e, rbg PRNG.\n")
@@ -45,4 +55,6 @@ with open('GOLDEN.md', 'w') as f:
     for name, ep, h, w in rows:
         f.write(f"| {name} | {ep} | {h['auc']:.4f} | {h['accuracy']:.4f} | "
                 f"{h['f1_macro']:.4f} | {h['f1_micro']:.4f} | {h['loss']:.4f} | {w:.0f}s |\n")
+    if tail:
+        f.write("\n" + tail)
 print("written GOLDEN.md")

@@ -58,3 +58,36 @@ def test_flash_gradients_match(rng):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_flash_backward_empty_rows_and_skew(rng):
+    """Fused backward on a graph with empty rows and heavy degree skew:
+    gradients must match XLA autodiff through edge_softmax + spmm."""
+    from msha_gnn_tpu.graph import BipartiteGraph
+    from msha_gnn_tpu.ops.pallas import SpmmOperator
+
+    n_src, n_dst, d = 300, 70, 8
+    e = 1500
+    # rows 0 and 150 hog most edges; rows 200+ have none
+    senders = np.sort(
+        rng.choice([0, 1, 127, 128, 150, 199], e, p=[.4, .1, .1, .1, .25, .05])
+    ).astype(np.int64)
+    receivers = rng.integers(0, n_dst, e).astype(np.int64)
+    g = BipartiteGraph.from_coo(
+        senders, receivers, np.ones(e, np.float32), n_src=n_src, n_dst=n_dst,
+    )
+    op = SpmmOperator.build(g, interpret=True)
+    fop = FlashGATOperator.build(g, spmm=op)
+    logits = jnp.asarray(rng.standard_normal(g.num_padded_edges).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((n_dst, d)).astype(np.float32))
+
+    ga = jax.grad(lambda l, x: jnp.sum(fop(l, x) ** 2), argnums=(0, 1))(logits, x)
+    gb = jax.grad(
+        lambda l, x: jnp.sum(spmm(g, x, edge_weight=edge_softmax(g, l)) ** 2),
+        argnums=(0, 1),
+    )(logits, x)
+    m = np.asarray(g.edge_mask)
+    np.testing.assert_allclose(np.asarray(ga[0])[m], np.asarray(gb[0])[m],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
+                               rtol=1e-3, atol=1e-4)

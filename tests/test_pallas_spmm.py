@@ -144,3 +144,51 @@ def test_chunked_spmm_matches_full(rng):
         )
     )
     assert got_t.shape == (80, 8)
+
+
+def test_visit_schedule_trailing_empty_blocks(rng):
+    """Many trailing row blocks with no edges: the forced final-chunk
+    sweep must zero-fill chunk-indexed outputs (regression for the
+    uninitialised-trailing-chunk bug) and empty blocks must yield zero
+    rows."""
+    from msha_gnn_tpu.ops.pallas import SddmmOperator
+
+    n_src, n_dst, d = 700, 40, 8  # 6 row blocks, edges only in block 0
+    e = 50
+    senders = np.sort(rng.integers(0, 100, e)).astype(np.int64)
+    receivers = rng.integers(0, n_dst, e).astype(np.int64)
+    g = BipartiteGraph.from_coo(
+        senders, receivers, np.ones(e, np.float32), n_src=n_src,
+        n_dst=n_dst,
+    )
+    op = SpmmOperator.build(g, interpret=True)
+    x = rng.standard_normal((n_dst, d)).astype(np.float32)
+    got = np.asarray(op(jnp.asarray(x)))
+    want = np.asarray(spmm(g, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert np.all(got[200:] == 0.0)
+
+    sd = SddmmOperator.build(g, spmm=op)
+    h = rng.standard_normal((n_src, d)).astype(np.float32)
+    logits = np.asarray(sd(jnp.asarray(h), jnp.asarray(x)))
+    mask = np.asarray(g.edge_mask)
+    # pad entries of the chunk-indexed output must be exactly zero
+    assert np.all(logits[~mask] == 0.0)
+    s_np = np.asarray(g.senders)[mask]
+    r_np = np.asarray(g.receivers)[mask]
+    want_l = np.sum(h[s_np] * x[r_np], axis=1)
+    np.testing.assert_allclose(logits[mask], want_l, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_runtime_weights_match_static(rng):
+    """edge_weight equal to the graph weights must reproduce the static
+    fast path bit-for-bit apart from kernel precision."""
+    g, dense = make_random_bipartite(rng, 300, 120, density=0.05)
+    op = SpmmOperator.build(g, interpret=True)
+    x = jnp.asarray(rng.standard_normal((120, 16)).astype(np.float32))
+    a = np.asarray(op(x))
+    b = np.asarray(op(x, edge_weight=g.weight))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    at = np.asarray(op(jnp.asarray(
+        rng.standard_normal((300, 16)).astype(np.float32)), transpose=True))
+    assert at.shape == (120, 16)
