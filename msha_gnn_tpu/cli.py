@@ -36,7 +36,8 @@ def _config_from_args(cls, args):
 
 def _build_task(cfg, fg):
     """Model-preset dispatch shared by ``train`` and ``eval``."""
-    from .training import gat_task, gcn_task, msha_task, sage_task
+    from .training import (gat_task, gcn_task, hgane_task, msha_task,
+                           sage_task)
 
     if cfg.model in ("msha", "ours", "ablation1", "ablation2", "ablation3"):
         flags = cfg.model_flags()
@@ -54,6 +55,12 @@ def _build_task(cfg, fg):
     elif cfg.model == "gcn":
         task, variables, _ = gcn_task(
             fg, nfeat=cfg.in_features, dropout=cfg.dropout, lr=cfg.lr,
+            weight_decay=cfg.weight_decay, seed=cfg.seed,
+        )
+    elif cfg.model == "hgane":
+        task, variables, _ = hgane_task(
+            fg, in_features=cfg.in_features, out_features=cfg.out_features,
+            dropout=cfg.dropout, lr=cfg.lr,
             weight_decay=cfg.weight_decay, seed=cfg.seed,
         )
     elif cfg.model == "sage":
@@ -82,6 +89,28 @@ def cmd_train(args) -> int:
 
     cfg = _config_from_args(TrainConfig, args)
     log = JsonlLogger(cfg.log_path)
+    years = [y for y in (cfg.years or "").split(",") if y]
+    if years:
+        # multi-year joint MSHA training (BASELINE config #3)
+        if cfg.model not in ("msha", "ours", "ablation1", "ablation2",
+                             "ablation3"):
+            print("--years joint training supports the MSHA family only",
+                  file=sys.stderr)
+            return 2
+        from .training import run_temporal_train
+
+        flags = cfg.model_flags()
+        n_heads = flags.pop("n_heads", cfg.n_heads)
+        _, _, history = run_temporal_train(
+            years=tuple(years), data_dir=cfg.data_dir, log=log,
+            in_features=cfg.in_features, out_features=cfg.out_features,
+            n_heads=n_heads, dropout=cfg.dropout, epochs=cfg.epochs,
+            batch_size=cfg.batch_size, lr=cfg.lr,
+            weight_decay=cfg.weight_decay,
+            train_fraction=cfg.train_fraction, seed=cfg.seed, **flags,
+        )
+        print(json.dumps(history[-1]))
+        return 0
     fg = load_flow_graph(cfg.year, cfg.data_dir)
     log({"event": "data", "n": fg.n_src, "m": fg.n_dst,
          "records": fg.num_records, "edges": fg.inter.num_edges})

@@ -55,6 +55,26 @@ def _load():
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
+        lib.count_ring_buckets.restype = None
+        lib.count_ring_buckets.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        lib.fill_ring_buckets.restype = None
+        lib.fill_ring_buckets.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_longlong,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
         _LIB = lib
         return lib
 
@@ -67,6 +87,38 @@ def load_flow_csv(path: str, cols: int = 4, max_rows: int = 50_000_000):
     if n < 0:
         raise FileNotFoundError(path)
     return out[:n].copy()
+
+
+def ring_buckets(senders, receivers, weights, k: int, row_blk: int,
+                 dst_blk: int, min_bucket: int = 8):
+    """Linear-time (dev, shard) edge bucketing for the ring-scheduled
+    distributed SpMM (two passes, no sort — replaces the numpy lexsort that
+    dominates setup at 100M-edge scale).
+
+    Returns ``(s_b, rl_b, w_b)`` of shape ``[k, k, e_b]`` with senders
+    localised to the device row range (pad sentinel ``row_blk``), receivers
+    localised to the shard range (pad 0) and pad weight 0.
+    """
+    lib = _load()
+    s = np.ascontiguousarray(senders, np.int32)
+    r = np.ascontiguousarray(receivers, np.int32)
+    e = s.shape[0]
+    counts = np.zeros(k * k, np.int64)
+    lib.count_ring_buckets(s, r, e, k, row_blk, dst_blk, counts)
+    e_b = max(int(counts.max()) if e else 0, min_bucket)
+    s_b = np.full((k, k, e_b), row_blk, np.int32)
+    rl_b = np.zeros((k, k, e_b), np.int32)
+    w_b = np.zeros((k, k, e_b), np.float32)
+    if weights is None:
+        w_ptr = None
+    else:
+        w = np.ascontiguousarray(weights, np.float32)
+        w_ptr = w.ctypes.data_as(ctypes.c_void_p)
+    cursor = np.zeros(k * k, np.int64)
+    lib.fill_ring_buckets(s, r, w_ptr, e, k, row_blk, dst_blk, e_b,
+                          s_b.reshape(-1), rl_b.reshape(-1),
+                          w_b.reshape(-1), cursor)
+    return s_b, rl_b, w_b
 
 
 def build_csr(senders, receivers, weights, n_src: int, n_dst: int):

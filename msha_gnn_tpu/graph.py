@@ -86,17 +86,22 @@ class BipartiteGraph:
         n_dst: int,
         pad_to_multiple: int = 128,
         combine_duplicates: bool = True,
+        assume_sorted: bool = False,
     ) -> "BipartiteGraph":
         """Build a sorted, padded graph from host-side COO arrays.
 
         Duplicate ``(s, r)`` pairs are summed into a single weighted edge
         (matching the reference's ``+= 1`` accumulation of repeated flow
-        records, ``dataset.py:286-288``).
+        records, ``dataset.py:286-288``).  ``assume_sorted=True`` skips the
+        sort for callers that guarantee sender-grouped (CSR) order — the
+        O(E log E) lexsort dominates construction at 100M-edge scale.
         """
         senders = np.asarray(senders, np.int64)
         receivers = np.asarray(receivers, np.int64)
         weight = np.asarray(weight, np.float32)
         row_ptr = None
+        if assume_sorted:
+            combine_duplicates = False
         if combine_duplicates and senders.size:
             try:
                 # native linear-time counting-sort CSR build (C++,
@@ -114,7 +119,7 @@ class BipartiteGraph:
                 w = np.zeros(uniq.shape[0], np.float32)
                 np.add.at(w, inv, weight)
                 senders, receivers, weight = uniq // n_dst, uniq % n_dst, w
-        if row_ptr is None:
+        if row_ptr is None and not assume_sorted:
             order = np.lexsort((receivers, senders))
             senders, receivers, weight = (
                 senders[order], receivers[order], weight[order]
@@ -128,8 +133,9 @@ class BipartiteGraph:
         s[:e], r[:e], w[:e] = senders, receivers, weight
 
         if row_ptr is None:
-            row_ptr = np.zeros(n_src + 1, np.int32)
-            np.add.at(row_ptr[1:], senders, 1)
+            row_ptr = np.zeros(n_src + 1, np.int64)
+            if e:
+                row_ptr[1:] = np.bincount(senders, minlength=n_src)
             row_ptr = np.cumsum(row_ptr).astype(np.int32)
 
         return BipartiteGraph(

@@ -58,13 +58,19 @@ def _slice_spmm(x, w, recv_cl, senders, bid, cs, first, last, *, n_rows: int,
 
 class ChunkedSpmm:
     """``A @ x`` over an edge-sliced graph (forward/inference path for
-    graphs whose gathered intermediate exceeds HBM)."""
+    graphs whose gathered intermediate exceeds HBM).
 
-    def __init__(self, graph: BipartiteGraph, num_slices: int,
-                 interpret: Optional[bool] = None):
+    Prefer :meth:`from_host_coo` at out-of-core scale: constructing a
+    :class:`BipartiteGraph` first uploads the FULL edge arrays to the
+    device (which this class immediately re-downloads to slice) — GBs of
+    useless transfer at 100M edges when the entire premise is that the
+    whole graph doesn't belong on the chip at once.
+    """
+
+    def __init__(self, graph: Optional[BipartiteGraph], num_slices: int,
+                 interpret: Optional[bool] = None, *, _host=None):
         from .pallas.spmm import _interpret_default
 
-        self.graph = graph
         self.interpret = (
             _interpret_default() if interpret is None else interpret
         )
@@ -72,11 +78,19 @@ class ChunkedSpmm:
         # build schedules in numpy, upload only the final arrays.
         # (Round-tripping per-slice BipartiteGraphs through the device
         # costs GBs of transfers on tunnelled runtimes.)
-        e = graph.num_edges
-        s_np = np.asarray(graph.senders)[:e]
-        r_np = np.asarray(graph.receivers)[:e]
-        w_np = np.asarray(graph.weight)[:e]
-        n_pad_rows = _round_up(max(graph.n_src, ROW_BLK), ROW_BLK)
+        if _host is not None:
+            s_np, r_np, w_np, n_src, n_dst = _host
+            self._host = _host
+        else:
+            e = graph.num_edges
+            s_np = np.asarray(graph.senders)[:e]
+            r_np = np.asarray(graph.receivers)[:e]
+            w_np = np.asarray(graph.weight)[:e]
+            n_src, n_dst = graph.n_src, graph.n_dst
+            self._host = (s_np, r_np, w_np, n_src, n_dst)
+        self.n_src, self.n_dst = int(n_src), int(n_dst)
+        e = len(s_np)
+        n_pad_rows = _round_up(max(self.n_src, ROW_BLK), ROW_BLK)
         bounds = np.linspace(0, e, num_slices + 1).astype(np.int64)
         built = []
         for i in range(num_slices):
@@ -93,15 +107,16 @@ class ChunkedSpmm:
                              constant_values=n_pad_rows).astype(np.int32)
             recv_cl = np.minimum(
                 np.pad(r.astype(np.int64), (0, pad),
-                       constant_values=graph.n_dst),
-                graph.n_dst - 1,
+                       constant_values=self.n_dst),
+                self.n_dst - 1,
             ).astype(np.int32)
             w_p = np.pad(w.astype(np.float32), (0, pad))
-            ptr = np.zeros(graph.n_src + 1, np.int64)
-            np.add.at(ptr[1:], s, 1)
+            ptr = np.zeros(self.n_src + 1, np.int64)
+            if len(s):
+                ptr[1:] = np.bincount(s, minlength=self.n_src)
             ptr = np.cumsum(ptr)
             bid, cs, first, last = _chunk_schedule(
-                ptr, graph.n_src, e_ch // E_CHUNK
+                ptr, self.n_src, e_ch // E_CHUNK
             )
             built.append((w_p, recv_cl, senders, bid, cs, first, last, e_ch))
         max_e_ch = max(b[7] for b in built)
@@ -118,7 +133,7 @@ class ChunkedSpmm:
                 jnp.asarray(a) for a in (
                     np.pad(w_p, (0, ep)),
                     np.pad(recv_cl, (0, ep),
-                           constant_values=graph.n_dst - 1),
+                           constant_values=self.n_dst - 1),
                     np.pad(senders, (0, ep), constant_values=n_pad_rows),
                     np.pad(bid, (0, vp), constant_values=last_block),
                     np.pad(cs, (0, vp),
@@ -128,20 +143,43 @@ class ChunkedSpmm:
                 )
             ))
 
+    @classmethod
+    def from_host_coo(cls, senders, receivers, weight, *, n_src: int,
+                      n_dst: int, num_slices: int,
+                      interpret: Optional[bool] = None,
+                      assume_sorted: bool = False):
+        """Build directly from host COO arrays — nothing but the final
+        per-slice schedule arrays ever reaches the device.  Edges are
+        sender-grouped with a radix argsort (O(E)) unless the caller
+        guarantees CSR order with ``assume_sorted=True``."""
+        s = np.ascontiguousarray(senders, np.int32)
+        r = np.ascontiguousarray(receivers, np.int32)
+        w = (np.ones(len(s), np.float32) if weight is None
+             else np.ascontiguousarray(weight, np.float32))
+        if not assume_sorted:
+            order = np.argsort(s, kind="stable")  # radix on ints
+            s, r, w = s[order], r[order], w[order]
+        return cls(None, num_slices, interpret,
+                   _host=(s, r, w, int(n_src), int(n_dst)))
+
     def __call__(self, x, *, transpose: bool = False):
         if transpose:
             if not hasattr(self, "_t"):
+                s, r, w, n_src, n_dst = self._host
                 object.__setattr__(
                     self, "_t",
-                    ChunkedSpmm(self.graph.transpose(), len(self.slices),
-                                self.interpret),
+                    ChunkedSpmm.from_host_coo(
+                        r, s, w, n_src=n_dst, n_dst=n_src,
+                        num_slices=len(self.slices),
+                        interpret=self.interpret,
+                    ),
                 )
             return self._t(x)
         out = None
         for w, recv_cl, senders, bid, cs, first, last in self.slices:
             part = _slice_spmm(
                 x, w, recv_cl, senders, bid, cs, first, last,
-                n_rows=self.graph.n_src, interpret=self.interpret,
+                n_rows=self.n_src, interpret=self.interpret,
             )
             out = part if out is None else out + part
         return out

@@ -167,25 +167,37 @@ class RingSpmm:
         s = np.asarray(graph.senders)[:e]
         r = np.asarray(graph.receivers)[:e]
         w = np.asarray(graph.weight)[:e]
-        dev = np.minimum(s // row_blk, k - 1)
-        shard = np.minimum(r // dst_blk, k - 1)
-        counts = np.zeros((k, k), np.int64)
-        np.add.at(counts, (dev, shard), 1)
-        e_b = max(int(counts.max()), 8)
+        try:
+            # native linear-time bucketer (two counting passes, no sort —
+            # the numpy lexsort below is the setup bottleneck at 100M edges)
+            from ..data import _native
 
-        s_b = np.full((k, k, e_b), row_blk, np.int32)      # local sentinel
-        rl_b = np.zeros((k, k, e_b), np.int32)             # clamped local
-        w_b = np.zeros((k, k, e_b), np.float32)
-        order = np.lexsort((r, shard, dev))
-        s_o, r_o, w_o = s[order], r[order], w[order]
-        dev_o, shard_o = dev[order], shard[order]
-        # position of each edge within its (dev, shard) bucket
-        flat = dev_o * k + shard_o
-        start = np.searchsorted(flat, np.arange(k * k))
-        pos = np.arange(e, dtype=np.int64) - start[flat]
-        s_b[dev_o, shard_o, pos] = (s_o - dev_o * row_blk).astype(np.int32)
-        rl_b[dev_o, shard_o, pos] = (r_o - shard_o * dst_blk).astype(np.int32)
-        w_b[dev_o, shard_o, pos] = w_o
+            s_b, rl_b, w_b = _native.ring_buckets(s, r, w, k, row_blk,
+                                                  dst_blk)
+        except Exception:
+            dev = np.minimum(s // row_blk, k - 1)
+            shard = np.minimum(r // dst_blk, k - 1)
+            counts = np.zeros((k, k), np.int64)
+            np.add.at(counts, (dev, shard), 1)
+            e_b = max(int(counts.max()), 8)
+
+            s_b = np.full((k, k, e_b), row_blk, np.int32)  # local sentinel
+            rl_b = np.zeros((k, k, e_b), np.int32)         # clamped local
+            w_b = np.zeros((k, k, e_b), np.float32)
+            order = np.lexsort((r, shard, dev))
+            s_o, r_o, w_o = s[order], r[order], w[order]
+            dev_o, shard_o = dev[order], shard[order]
+            # position of each edge within its (dev, shard) bucket
+            flat = dev_o * k + shard_o
+            start = np.searchsorted(flat, np.arange(k * k))
+            pos = np.arange(e, dtype=np.int64) - start[flat]
+            s_b[dev_o, shard_o, pos] = (
+                s_o - dev_o * row_blk
+            ).astype(np.int32)
+            rl_b[dev_o, shard_o, pos] = (
+                r_o - shard_o * dst_blk
+            ).astype(np.int32)
+            w_b[dev_o, shard_o, pos] = w_o
 
         shard_nd = NamedSharding(mesh, P("data", None, None))
         self._s_b = jax.device_put(jnp.asarray(s_b), shard_nd)

@@ -8,7 +8,10 @@ from .metrics import (
     precision_recall,
 )
 from .optim import adam_l2, sgd_momentum
-from .tasks import flow_inputs, gat_task, gcn_task, msha_task, sage_task
+from .temporal import (TemporalMSHA, canonical_recipients,
+                       run_temporal_train, train_temporal_msha)
+from .tasks import (flow_inputs, gat_task, gcn_task, hgane_task,
+                    msha_task, sage_task)
 from .trainer import (
     Task,
     Trainer,
@@ -46,4 +49,9 @@ __all__ = [
     "gat_task",
     "gcn_task",
     "sage_task",
+    "hgane_task",
+    "TemporalMSHA",
+    "canonical_recipients",
+    "run_temporal_train",
+    "train_temporal_msha",
 ]

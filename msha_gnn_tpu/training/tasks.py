@@ -170,6 +170,48 @@ def gcn_task(
     )
 
 
+def hgane_task(
+    fg: FlowGraph,
+    *,
+    in_features: int = 128,
+    out_features: int = 64,
+    dropout: float = 0.5,
+    intra: str = "city",
+    lr: float = 1e-3,
+    weight_decay: float = 5e-4,
+    seed: int = 42,
+):
+    """HGANE batch-sliced preset.  The reference constructs it only in a
+    commented line (``train.py:202``) and never trains it; the intended
+    driver is the same nll loop, so the ELU scores get a ``log_softmax``
+    here (matching what every *used* model feeds ``F.nll_loss``)."""
+    from ..models import HGANELayer
+
+    _, inter_mask = flow_inputs(fg)
+    grouping = fg.city if intra == "city" else fg.province
+    model = HGANELayer(
+        in_features=in_features, out_features=out_features,
+        n_src=fg.n_src, n_dst=fg.n_dst, dropout=dropout,
+    )
+
+    def forward(variables, batch_idx, *, train, rngs):
+        out = model.apply(
+            variables, inter_mask[batch_idx], grouping, batch_idx,
+            train=train, rngs=rngs, mutable=_mutable(train),
+        )
+        if train:
+            scores, mutated = out
+        else:
+            scores, mutated = out, {}
+        return jax.nn.log_softmax(scores, axis=-1), mutated
+
+    variables = model.init(
+        jax.random.key(seed), inter_mask[:1], grouping,
+        jnp.zeros((1,), jnp.int32), train=False,
+    )
+    return Task(forward=forward, tx=adam_l2(lr, weight_decay)), variables, model
+
+
 def sage_task(
     fg: FlowGraph,
     *,

@@ -26,6 +26,7 @@ class TrainConfig:
     dropout: float = 0.5
     seed: int = 42
     train_fraction: float = 0.9
+    years: str = ""              # comma list -> joint multi-year training
     top_k: int = 100             # explainer K (train.py:39-40)
     log_path: Optional[str] = None
     checkpoint_dir: Optional[str] = None
@@ -88,4 +89,5 @@ class SGAEConfig:
     dropout: float = 0.5
     seed: int = 42
     pretrain_epochs: int = 0     # SGAE embedding pretrain (config #2)
+    years: str = ""              # comma list -> temporal multi-year pretrain
     log_path: Optional[str] = None

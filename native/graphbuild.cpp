@@ -141,6 +141,48 @@ long long build_csr(const int32_t* senders, const int32_t* receivers,
   return out_n;
 }
 
+// Ring-schedule bucketer for the edge-partitioned distributed SpMM
+// (parallel/dist_spmm.py RingSpmm).  Edges are assigned to device
+// dev = min(s / row_blk, k-1) and destination shard
+// shard = min(r / dst_blk, k-1); within each (dev, shard) bucket the edge
+// is stored at a stable position with the sender localised to the device's
+// row range and the receiver localised to the shard's range.  Two linear
+// passes replace numpy's O(E log E) lexsort at 100M-edge scale.
+//
+// Pass 1 (count_ring_buckets): per-bucket counts -> caller picks the padded
+// bucket size e_b = max(counts).  Pass 2 (fill_ring_buckets): scatter into
+// the caller-allocated [k, k, e_b] arrays, pre-filled by the caller with
+// the sentinel sender (row_blk), zero receiver and zero weight.
+void count_ring_buckets(const int32_t* s, const int32_t* r, long long e,
+                        int32_t k, int32_t row_blk, int32_t dst_blk,
+                        long long* counts /* [k*k], zeroed by caller */) {
+  for (long long i = 0; i < e; ++i) {
+    int32_t dev = s[i] / row_blk;
+    if (dev > k - 1) dev = k - 1;
+    int32_t shard = r[i] / dst_blk;
+    if (shard > k - 1) shard = k - 1;
+    ++counts[(long long)dev * k + shard];
+  }
+}
+
+void fill_ring_buckets(const int32_t* s, const int32_t* r, const float* w,
+                       long long e, int32_t k, int32_t row_blk,
+                       int32_t dst_blk, long long e_b, int32_t* s_out,
+                       int32_t* r_out, float* w_out,
+                       long long* cursor /* [k*k], zeroed by caller */) {
+  for (long long i = 0; i < e; ++i) {
+    int32_t dev = s[i] / row_blk;
+    if (dev > k - 1) dev = k - 1;
+    int32_t shard = r[i] / dst_blk;
+    if (shard > k - 1) shard = k - 1;
+    long long b = (long long)dev * k + shard;
+    long long at = b * e_b + cursor[b]++;
+    s_out[at] = s[i] - dev * row_blk;
+    r_out[at] = r[i] - shard * dst_blk;
+    w_out[at] = w ? w[i] : 1.0f;
+  }
+}
+
 // Group clique builder: given per-node group ids, return per-group counts.
 void group_counts(const int32_t* gid, long long n, int32_t num_groups,
                   int32_t* counts) {

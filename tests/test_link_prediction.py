@@ -113,3 +113,44 @@ def test_sgae_pretrain_and_finetune(rng):
                      pretrain_epochs=2)
     result = run_sgae(cfg, fg=fg)
     assert "finetune" in result and np.isfinite(result["finetune"]["loss"])
+
+
+def test_sgae_temporal_pretrain(rng):
+    """Config #2 temporal path: shared recipient embeddings across per-year
+    graphs; years without flow records are skipped gracefully."""
+    from msha_gnn_tpu.graph import BipartiteGraph, FlowGraph, Grouping
+    from msha_gnn_tpu.training.sgae import pretrain_autoencoder_temporal
+
+    fgs = {}
+    for i, year in enumerate(["2015", "2016"]):
+        fg, _, _ = make_tiny_flow(rng, n=40 + 10 * i, m=5, records=250)
+        fgs[year] = fg
+    # a year with graph+GDP but zero flow records (2016-2018 as shipped)
+    empty = BipartiteGraph.from_coo(
+        np.zeros(0, np.int32), np.zeros(0, np.int32),
+        np.zeros(0, np.float32), n_src=30, n_dst=5, pad_to_multiple=32,
+    )
+    fgs["2017"] = FlowGraph(
+        inter=empty, city=Grouping.from_ids(np.zeros(30, np.int32)),
+        province=Grouping.from_ids(np.zeros(30, np.int32)),
+        gdp=jnp.zeros(30), edge_src=jnp.zeros(0, jnp.int32),
+        edge_dst=jnp.zeros(0, jnp.int32),
+    )
+    logs = []
+    z_by_year, z_dst, hist = pretrain_autoencoder_temporal(
+        fgs, dim=8, epochs=3, batch_size=64, seed=0, log=logs.append)
+    assert set(z_by_year) == {"2015", "2016", "2017"}
+    assert z_by_year["2015"].shape == (40, 8)
+    assert z_by_year["2016"].shape == (50, 8)
+    assert z_dst.shape == (5, 8)
+    assert set(hist) == {"2015", "2016"}  # 2017 skipped: no records
+    assert any(r.get("event") == "sgae_temporal_skip_year" for r in logs)
+    for y in hist:
+        assert hist[y][-1] < hist[y][0]
+
+    # mismatched recipient sets must be rejected
+    bad, _, _ = make_tiny_flow(rng, n=20, m=7, records=100)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pretrain_autoencoder_temporal({"a": bad, "b": fgs["2015"]}, dim=4,
+                                      epochs=1)

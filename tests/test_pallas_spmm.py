@@ -192,3 +192,44 @@ def test_spmm_runtime_weights_match_static(rng):
     at = np.asarray(op(jnp.asarray(
         rng.standard_normal((300, 16)).astype(np.float32)), transpose=True))
     assert at.shape == (120, 16)
+
+
+def test_chunked_spmm_from_host_coo(rng):
+    """Host-COO construction (unsorted input, nothing device-resident but
+    the slice arrays) matches the graph-based path and the dense oracle."""
+    from msha_gnn_tpu.ops.chunked import ChunkedSpmm
+
+    g, dense = make_random_bipartite(rng, 150, 60, density=0.15)
+    e = g.num_edges
+    s = np.asarray(g.senders)[:e]
+    r = np.asarray(g.receivers)[:e]
+    w = np.asarray(g.weight)[:e]
+    # scramble to prove the radix sort path works
+    perm = rng.permutation(e)
+    op = ChunkedSpmm.from_host_coo(s[perm], r[perm], w[perm], n_src=150,
+                                   n_dst=60, num_slices=4, interpret=True)
+    x = jnp.asarray(rng.standard_normal((60, 16)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(op(x)), dense @ np.asarray(x),
+                               rtol=1e-3, atol=1e-3)
+    xt = jnp.asarray(rng.standard_normal((150, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(op(xt, transpose=True)), dense.T @ np.asarray(xt),
+        rtol=1e-3, atol=1e-3)
+
+
+def test_from_coo_assume_sorted_matches(rng):
+    """Pre-sorted fast path produces the identical graph."""
+    from msha_gnn_tpu.graph import BipartiteGraph
+
+    e = 300
+    s = np.sort(rng.integers(0, 50, e)).astype(np.int64)
+    r = rng.integers(0, 20, e).astype(np.int64)
+    w = rng.random(e).astype(np.float32)
+    g1 = BipartiteGraph.from_coo(s, r, w, n_src=50, n_dst=20,
+                                 combine_duplicates=False)
+    g2 = BipartiteGraph.from_coo(s, r, w, n_src=50, n_dst=20,
+                                 assume_sorted=True)
+    np.testing.assert_array_equal(np.asarray(g1.row_ptr),
+                                  np.asarray(g2.row_ptr))
+    np.testing.assert_allclose(np.asarray(g1.to_dense()),
+                               np.asarray(g2.to_dense()), rtol=1e-6)

@@ -13,6 +13,7 @@ from msha_gnn_tpu.training import (
     TrainState,
     gat_task,
     gcn_task,
+    hgane_task,
     msha_task,
     sage_task,
 )
@@ -48,8 +49,9 @@ def make_tiny_flow(rng, n=60, m=5, records=400):
         (gat_task, {}),
         (gcn_task, dict(nfeat=8)),
         (sage_task, dict(in_features=8)),
+        (hgane_task, dict(in_features=16, out_features=8)),
     ],
-    ids=["msha", "ablation3", "gat", "gcn", "sage"],
+    ids=["msha", "ablation3", "gat", "gcn", "sage", "hgane"],
 )
 def test_model_trains_and_loss_decreases(rng, builder, kwargs):
     fg, src, dst = make_tiny_flow(rng)
@@ -83,3 +85,49 @@ def test_trainer_padding_last_batch(rng):
     assert np.isfinite(loss)
     rep = trainer.evaluate(state, ids)
     assert np.isfinite(rep["loss"])
+
+
+def test_temporal_msha_joint_training(rng):
+    """Config #3 joint multi-year loop: shared head/recipient params,
+    per-year source features, recipient alignment by name, skip-empty-year."""
+    from msha_gnn_tpu.training import train_temporal_msha
+
+    fgs, maps = {}, {}
+    names = ["prov_a", "prov_b", "prov_c", "prov_d", "prov_e"]
+    for i, year in enumerate(["2015", "2016"]):
+        fg, _, _ = make_tiny_flow(rng, n=40 + 10 * i, m=5, records=260)
+        fgs[year] = fg
+        # different local orders across years — alignment must undo this
+        order = list(rng.permutation(5))
+        maps[year] = {names[j]: order.index(j) for j in range(5)}
+        maps[year] = {n: int(order[j]) for j, n in enumerate(names)}
+    # a year with zero flow records
+    empty = BipartiteGraph.from_coo(
+        np.zeros(0, np.int32), np.zeros(0, np.int32),
+        np.zeros(0, np.float32), n_src=20, n_dst=5, pad_to_multiple=32,
+    )
+    fgs["2017"] = FlowGraph(
+        inter=empty, city=Grouping.from_ids(np.zeros(20, np.int32)),
+        province=Grouping.from_ids(np.zeros(20, np.int32)),
+        gdp=jnp.zeros(20), edge_src=jnp.zeros(0, jnp.int32),
+        edge_dst=jnp.zeros(0, jnp.int32),
+    )
+    maps["2017"] = maps["2015"]
+
+    logs = []
+    params, batch_stats, history = train_temporal_msha(
+        fgs, maps, in_features=16, out_features=8, epochs=6, batch_size=64,
+        lr=0.01, log=logs.append,
+    )
+    assert any(r.get("event") == "temporal_skip_year" for r in logs)
+    assert set(history[-1]) == {"2015", "2016"}
+    # shared head params exist once; per-year feature tables for all years
+    assert "Sfeatures_2015" in params and "Sfeatures_2017" in params
+    assert params["Sfeatures_2015"].shape == (40, 16)
+    assert "attention_0" in params and "attention_0_2016" not in params
+    for y in ["2015", "2016"]:
+        first = history[0][y]["train_loss"]
+        best = min(h[y]["train_loss"] for h in history[1:])
+        assert np.isfinite(best)
+        assert best < first, f"{y}: {first} -> {best}"
+        assert 0.0 <= history[-1][y]["accuracy"] <= 1.0
