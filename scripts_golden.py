@@ -10,7 +10,7 @@ import numpy as np
 
 from msha_gnn_tpu.data import load_flow_graph, train_test_split_records
 from msha_gnn_tpu.training import (Trainer, TrainState, msha_task, gat_task,
-                                   gcn_task, sage_task)
+                                   gcn_task, hgane_task, sage_task)
 
 fg = load_flow_graph('2015')
 src = np.asarray(fg.edge_src); dst = np.asarray(fg.edge_dst)
@@ -35,6 +35,7 @@ run('msha (full joint softmax)', msha_task, 5, 64,
 run('gat', gat_task, 5, 64)
 run('gcn', gcn_task, 5, 64, nfeat=64)
 run('sage', sage_task, 10, 512, in_features=32)
+run('hgane', hgane_task, 5, 64, in_features=128, out_features=64)
 
 # preserve the manually-maintained sections below the classification table
 tail = ""
