@@ -39,13 +39,11 @@ from .pallas.spmm import (
 )
 
 
-@partial(jax.jit, static_argnames=("n_rows", "interpret"))
-def _slice_spmm(x, w, recv_cl, senders, bid, cs, first, last, *, n_rows: int,
-                interpret: bool):
+def _slice_spmm_body(x, w, recv_cl, senders, bid, cs, first, last,
+                     n_rows: int, interpret: bool):
     """One edge slice: bare clamped gather + weighted visit-scheduled
     Pallas reduce (weights and masking are applied inside the kernel; pad
-    edges carry ``w = 0`` + an out-of-block sender sentinel).  All edge
-    arrays are arguments, never closure constants."""
+    edges carry ``w = 0`` + an out-of-block sender sentinel)."""
     d_feat = x.shape[1]
     d_pad = _round_up(d_feat, LANE)
     gathered = jnp.take(x, recv_cl, axis=0)
@@ -54,6 +52,36 @@ def _slice_spmm(x, w, recv_cl, senders, bid, cs, first, last, *, n_rows: int,
     out = _visit_reduce_raw(gathered, w, senders, bid, cs, first, last,
                             n_rows, interpret)
     return out[:, :d_feat]
+
+
+@partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def _slice_spmm(x, w, recv_cl, senders, bid, cs, first, last, *, n_rows: int,
+                interpret: bool):
+    """Jitted single-slice entry.  All edge arrays are arguments, never
+    closure constants (closure-captured arrays become jaxpr constants and
+    blow up program serialisation at 50M+ edges)."""
+    return _slice_spmm_body(x, w, recv_cl, senders, bid, cs, first, last,
+                            n_rows, interpret)
+
+
+@partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def _fused_spmm(x, w_s, recv_s, snd_s, bid_s, cs_s, first_s, last_s, *,
+                n_rows: int, interpret: bool):
+    """All slices in ONE dispatch: ``lax.scan`` over the stacked [k, ...]
+    slice arrays, accumulating the output.  Identical math to the
+    per-slice loop; saves (k-1) host dispatches per pass — on tunnelled
+    runtimes dispatch latency dominates the pass wall-clock."""
+    def body(acc, sl):
+        w, recv_cl, senders, bid, cs, first, last = sl
+        part = _slice_spmm_body(x, w, recv_cl, senders, bid, cs, first,
+                                last, n_rows, interpret)
+        return acc + part, None
+
+    acc0 = jnp.zeros((n_rows, x.shape[1]), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, acc0, (w_s, recv_s, snd_s, bid_s, cs_s, first_s, last_s)
+    )
+    return acc
 
 
 class ChunkedSpmm:
@@ -68,12 +96,14 @@ class ChunkedSpmm:
     """
 
     def __init__(self, graph: Optional[BipartiteGraph], num_slices: int,
-                 interpret: Optional[bool] = None, *, _host=None):
+                 interpret: Optional[bool] = None, *, fused: bool = True,
+                 _host=None):
         from .pallas.spmm import _interpret_default
 
         self.interpret = (
             _interpret_default() if interpret is None else interpret
         )
+        self.fused = fused  # one lax.scan dispatch over all slices
         # Host-only partitioning: fetch the edge arrays once, slice and
         # build schedules in numpy, upload only the final arrays.
         # (Round-tripping per-slice BipartiteGraphs through the device
@@ -147,7 +177,7 @@ class ChunkedSpmm:
     def from_host_coo(cls, senders, receivers, weight, *, n_src: int,
                       n_dst: int, num_slices: int,
                       interpret: Optional[bool] = None,
-                      assume_sorted: bool = False):
+                      assume_sorted: bool = False, fused: bool = True):
         """Build directly from host COO arrays — nothing but the final
         per-slice schedule arrays ever reaches the device.  Edges are
         sender-grouped with a radix argsort (O(E)) unless the caller
@@ -159,7 +189,7 @@ class ChunkedSpmm:
         if not assume_sorted:
             order = np.argsort(s, kind="stable")  # radix on ints
             s, r, w = s[order], r[order], w[order]
-        return cls(None, num_slices, interpret,
+        return cls(None, num_slices, interpret, fused=fused,
                    _host=(s, r, w, int(n_src), int(n_dst)))
 
     def __call__(self, x, *, transpose: bool = False):
@@ -171,10 +201,20 @@ class ChunkedSpmm:
                     ChunkedSpmm.from_host_coo(
                         r, s, w, n_src=n_dst, n_dst=n_src,
                         num_slices=len(self.slices),
-                        interpret=self.interpret,
+                        interpret=self.interpret, fused=self.fused,
                     ),
                 )
             return self._t(x)
+        if self.fused:
+            if not hasattr(self, "_stacked"):
+                object.__setattr__(self, "_stacked", tuple(
+                    jnp.stack(comp) for comp in zip(*self.slices)
+                ))
+            w_s, recv_s, snd_s, bid_s, cs_s, first_s, last_s = self._stacked
+            return _fused_spmm(
+                x, w_s, recv_s, snd_s, bid_s, cs_s, first_s, last_s,
+                n_rows=self.n_src, interpret=self.interpret,
+            )
         out = None
         for w, recv_cl, senders, bid, cs, first, last in self.slices:
             part = _slice_spmm(

@@ -229,6 +229,17 @@ def train_temporal_msha(
             loss_fn, has_aux=True
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
+        # Freeze the OTHER years' feature tables this step: their grads are
+        # zero, but the L2 term of the torch-equivalent Adam chain would
+        # still decay them on every step of every year — multiplying their
+        # effective weight decay by the number of active years vs the
+        # reference's single-year semantics.
+        updates = dict(updates)
+        for y2 in years:
+            if y2 != year:
+                k = f"Sfeatures_{y2}"
+                updates[k] = jax.tree_util.tree_map(jnp.zeros_like,
+                                                    updates[k])
         params = optax.apply_updates(params, updates)
         return params, mutated["batch_stats"], opt_state, loss
 

@@ -128,7 +128,8 @@ def test_operator_built_inside_trace_reused_across_traces(rng):
 
 
 def test_chunked_spmm_matches_full(rng):
-    """Out-of-core edge slicing: sum of per-slice SpMMs == full SpMM."""
+    """Out-of-core edge slicing: sum of per-slice SpMMs == full SpMM
+    (both the fused lax.scan dispatch and the per-slice loop)."""
     from msha_gnn_tpu.ops.chunked import ChunkedSpmm
 
     g, dense = make_random_bipartite(rng, 200, 80, density=0.1)
@@ -137,6 +138,8 @@ def test_chunked_spmm_matches_full(rng):
     got = np.asarray(op(x))
     np.testing.assert_allclose(got, dense @ np.asarray(x), rtol=1e-3,
                                atol=1e-3)
+    op_loop = ChunkedSpmm(g, num_slices=3, interpret=True, fused=False)
+    np.testing.assert_allclose(np.asarray(op_loop(x)), got, rtol=1e-5)
     got_t = np.asarray(
         ChunkedSpmm(g, 3, interpret=True)(
             jnp.asarray(rng.standard_normal((200, 8)).astype(np.float32)),
