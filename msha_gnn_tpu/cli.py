@@ -228,6 +228,24 @@ def cmd_linkpred(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Batch inference from a checkpoint (serving surface; the reference
+    has no inference path — predictions only exist inside its epoch-loop
+    ``test()``, train.py:239-282)."""
+    from .serving import run_predict
+    from .utils import TrainConfig
+
+    cfg = _config_from_args(TrainConfig, args)
+    if not cfg.checkpoint_dir:
+        print("predict requires --checkpoint_dir", file=sys.stderr)
+        return 2
+    summary = run_predict(cfg, nodes=args.nodes, top_k=args.top_k,
+                          output=args.output or None,
+                          batch_size=args.predict_batch)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_explain(args) -> int:
     from .explain import run_explain
 
@@ -293,6 +311,17 @@ def main(argv=None) -> int:
     p_lp.add_argument("--impl", default="auto")
     p_lp.add_argument("--log_path", default=None)
     p_lp.set_defaults(fn=cmd_linkpred)
+
+    p_pred = sub.add_parser(
+        "predict", help="batch inference from a checkpoint"
+    )
+    _add_dataclass_args(p_pred, TrainConfig)
+    p_pred.add_argument("--nodes", default="all",
+                        help="'all', comma list, or @file of indices")
+    p_pred.add_argument("--output", default=None,
+                        help="JSONL path (default stdout)")
+    p_pred.add_argument("--predict_batch", type=int, default=1024)
+    p_pred.set_defaults(fn=cmd_predict)
 
     p_exp = sub.add_parser("explain", help="attention top-K extraction")
     p_exp.add_argument("--year", default="2015")

@@ -84,9 +84,16 @@ def main():
 
     from msha_gnn_tpu.ops.chunked import ChunkedSpmm
 
-    t_nat, t_np = _ring_partition_timing()
-    print(f"ring partition (20M edges, k=8): native {t_nat:.2f}s, "
-          f"numpy {t_np:.2f}s ({t_np / t_nat:.1f}x)", file=sys.stderr)
+    import os
+
+    if os.environ.get("DEMO_SKIP_RING"):
+        t_nat = t_np = None
+        print("ring partition timing skipped (DEMO_SKIP_RING)",
+              file=sys.stderr)
+    else:
+        t_nat, t_np = _ring_partition_timing()
+        print(f"ring partition (20M edges, k=8): native {t_nat:.2f}s, "
+              f"numpy {t_np:.2f}s ({t_np / t_nat:.1f}x)", file=sys.stderr)
 
     print(f"building {edges_m}M-edge power-law edge set ...", file=sys.stderr)
     rng = np.random.default_rng(0)
@@ -147,8 +154,12 @@ def main():
         "gathered_intermediate_gb": round(n_edges * d * 4 / 2**30, 1),
         "spot_check_max_rel_err": max_rel,
         "setup_seconds": round(t_setup, 1),
-        "ring_partition_20M_native_s": round(t_nat, 2),
-        "ring_partition_20M_numpy_s": round(t_np, 2),
+        "ring_partition_20M_native_s": (
+            round(t_nat, 2) if t_nat is not None else None
+        ),
+        "ring_partition_20M_numpy_s": (
+            round(t_np, 2) if t_np is not None else None
+        ),
         "platform": jax.devices()[0].platform,
     }))
 
