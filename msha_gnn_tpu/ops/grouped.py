@@ -31,6 +31,32 @@ from .segment import segment_sum
 Array = jax.Array
 
 
+@jax.custom_vjp
+def gather_by_group(per_group: Array, group_id: Array) -> Array:
+    """``per_group[group_id]`` with an MXU-friendly transpose.
+
+    The plain gather's autodiff transpose is a scatter-add from [N, d] into
+    [G, d], which XLA lowers to a serial scatter loop — profiled at ~270 us
+    per call on v5e at N=39k, the single hottest op family in the MSHA
+    train step (4 calls: 2 heads x city/province).  With G small (291
+    cities / 25 provinces) the same reduction is a one-hot matmul
+    ``one_hot(gid).T @ g`` that runs on the MXU in tens of microseconds."""
+    return per_group[group_id]
+
+
+def _gather_by_group_fwd(per_group, group_id):
+    return per_group[group_id], (group_id, per_group.shape[0])
+
+
+def _gather_by_group_bwd(res, g):
+    group_id, num_groups = res
+    one_hot = jax.nn.one_hot(group_id, num_groups, dtype=g.dtype)  # [N, G]
+    return one_hot.T @ g, None
+
+
+gather_by_group.defvjp(_gather_by_group_fwd, _gather_by_group_bwd)
+
+
 def clique_row_scalar_logits(
     h_batch: Array, a: Array, *, negative_slope: float = 0.2
 ) -> Array:
@@ -71,7 +97,7 @@ def clique_weighted_scatter(
     """
     contrib = weights[:, None] * values  # [B, d]
     per_group = segment_sum(contrib, grouping.group_id[batch_index], grouping.num_groups)
-    return per_group[grouping.group_id]  # [N, d]
+    return gather_by_group(per_group, grouping.group_id)  # [N, d]
 
 
 def clique_masked_softmax_dense(

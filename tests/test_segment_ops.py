@@ -184,3 +184,24 @@ def test_clique_ops_match_dense_oracle(rng):
         clique_weighted_scatter(jnp.asarray(w), jnp.asarray(h_b), grp, jnp.asarray(batch))
     )
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_gather_by_group_grad_matches_plain_gather(rng):
+    """gather_by_group's custom one-hot-matmul backward (MXU path replacing
+    XLA's serial scatter-add transpose) must equal the plain gather's grad."""
+    import jax
+
+    from msha_gnn_tpu.ops.grouped import gather_by_group
+
+    G, n, d = 17, 301, 8
+    pg = jnp.asarray(rng.standard_normal((G, d)).astype(np.float32))
+    gid = jnp.asarray(rng.integers(0, G, n).astype(np.int32))
+    ct = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(gather_by_group(pg, gid)), np.asarray(pg)[np.asarray(gid)]
+    )
+    g_custom = jax.grad(lambda p: (gather_by_group(p, gid) * ct).sum())(pg)
+    g_plain = jax.grad(lambda p: (p[gid] * ct).sum())(pg)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
+                               rtol=1e-5, atol=1e-5)
