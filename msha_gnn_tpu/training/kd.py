@@ -107,13 +107,18 @@ def run_llp(cfg, log=None, fg=None):
     params = {"student": s_vars["params"], "predictor": p_vars["params"]}
     opt_state = tx.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, pos_s, pos_r, neg_r, rng):
+    # The teacher is frozen (train=False, params never optimised) and the
+    # features are fixed, so its full-graph embedding is a CONSTANT of the
+    # run — computed once here, not inside every train step (the reference
+    # recomputes the full dense teacher attention per 4096-edge batch,
+    # LLP.py:232).
+    t_h_const = teacher.apply(t_vars, inter_mask, features, train=False)
+
+    def _step_body(params, opt_state, t_h, pos_s, pos_r, neg_r, rng):
         def loss_fn(params):
-            r1, r2, r3, r4 = jax.random.split(rng, 4)
+            r1, r2, r3 = jax.random.split(rng, 3)
             h = student.apply({"params": params["student"]}, features,
                               train=True, rngs={"dropout": r1})
-            t_h = teacher.apply(t_vars, inter_mask, features, train=False)
             pos_score = predictor.apply(
                 {"params": params["predictor"]}, h[pos_s], h[pos_r],
                 train=True, rngs={"dropout": r2},
@@ -140,6 +145,31 @@ def run_llp(cfg, log=None, fg=None):
         return params, opt_state, loss, parts
 
     @jax.jit
+    def train_step(params, opt_state, t_h, pos_s, pos_r, neg_r, rng):
+        return _step_body(params, opt_state, t_h, pos_s, pos_r, neg_r, rng)
+
+    @jax.jit
+    def train_epoch_scan(params, opt_state, t_h, pos_s_s, pos_r_s, neg_r_s,
+                         rng):
+        """All of an epoch's steps in one dispatch (lax.scan over [S, B]
+        stacked batches) — per-step dispatch dwarfs the device step on a
+        real TPU runtime, exactly as in trainer.make_train_multi_step."""
+        def body(carry, inp):
+            params, opt_state, rng = carry
+            rng, sub = jax.random.split(rng)
+            pos_s, pos_r, neg_r = inp
+            params, opt_state, loss, parts = _step_body(
+                params, opt_state, t_h, pos_s, pos_r, neg_r, sub
+            )
+            return (params, opt_state, rng), (loss, parts)
+
+        (params, opt_state, _), (losses, parts) = jax.lax.scan(
+            body, (params, opt_state, rng), (pos_s_s, pos_r_s, neg_r_s)
+        )
+        last_parts = jax.tree_util.tree_map(lambda a: a[-1], parts)
+        return params, opt_state, losses.mean(), last_parts
+
+    @jax.jit
     def score_edges(params, src, dst):
         h = student.apply({"params": params["student"]}, features, train=False)
         return predictor.apply({"params": params["predictor"]}, h[src], h[dst],
@@ -155,25 +185,28 @@ def run_llp(cfg, log=None, fg=None):
     history = []
     for epoch in range(cfg.epochs):
         t0 = time.time()
-        total, count = 0.0, 0
+        # stack the whole epoch's batches ([S, B]) for one scanned dispatch
+        chunks, weights = [], []
         for chunk, w in _batches(len(train_ids), cfg.batch_size, shuffle=True,
                                  rng=rng_np):
-            ids = train_ids[chunk]
-            pos_s = jnp.asarray(src[ids])
-            pos_r = jnp.asarray(dst[ids])
-            neg_r = jnp.asarray(
-                sample_negatives(rng_np, len(ids), n, cfg.ns_rate)[: len(ids)]
-            )
-            key, sub = jax.random.split(key)
-            params, opt_state, loss, parts = train_step(
-                params, opt_state, pos_s, pos_r, neg_r, sub
-            )
-            total += float(loss)
-            count += 1
+            chunks.append(chunk)
+            weights.append(w)
+        ids_s = train_ids[np.stack(chunks)]              # [S, B]
+        s_steps, b = ids_s.shape
+        neg_s = sample_negatives(
+            rng_np, s_steps * b, n, cfg.ns_rate
+        )[: s_steps * b].reshape(s_steps, b)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, parts = train_epoch_scan(
+            params, opt_state, t_h_const,
+            jnp.asarray(src[ids_s]), jnp.asarray(dst[ids_s]),
+            jnp.asarray(neg_s), sub,
+        )
+        loss = float(loss)
         log({"event": "llp_train_epoch", "epoch": epoch,
-             "loss": total / max(count, 1), "seconds": time.time() - t0,
+             "loss": loss, "seconds": time.time() - t0,
              **{k: float(v) for k, v in parts.items()}})
-        history.append(total / max(count, 1))
+        history.append(loss)
 
     # ---- evaluation: AUC + Hits@K over held-out positives vs negatives ----
     pos_scores = []
