@@ -27,6 +27,9 @@ def _add_dataclass_args(parser, cls):
             parser.add_argument(f"--{f.name}", type=str, default=f.default)
         elif f.type in ("Optional[str]",):
             parser.add_argument(f"--{f.name}", type=str, default=f.default)
+        elif f.type in ("bool", bool):
+            parser.add_argument(f"--{f.name}", action="store_true",
+                                default=f.default)
 
 
 def _config_from_args(cls, args):

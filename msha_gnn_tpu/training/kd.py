@@ -23,6 +23,16 @@ Repaired-intent notes (SURVEY §2.2 #2-4, §2.1 #15):
   optionally trains it first on its own link objective — off by default.
 * Metrics: binary AUC over pos/neg edge scores + Hits@20/50 — the declared
   surface (``LLP.py:20``).
+* The declared eval/early-stop surface (``LLP.py:18-21,25`` — none of it
+  implemented in the reference) is implemented here: ``eval_steps`` periodic
+  validation, ``patience`` early stopping on the configured ``metric`` with
+  best-checkpoint restore, ``val_fraction`` to carve the validation split,
+  ``use_valedges_as_input`` to add the validation edges to the (otherwise
+  train-only) teacher message-passing graph, and ``kd_rank`` weighting the
+  margin-rank KD term (teacher-ordered pairwise ranking, ``margin_rank``).
+  With ``val_fraction=0`` (default) the teacher sees the full-record graph,
+  which is the reference's exact behaviour (dataset built before the split,
+  ``LLP.py:200-209``).
 """
 
 from __future__ import annotations
@@ -36,7 +46,6 @@ import optax
 
 from ..data import load_flow_graph, train_test_split_records
 from ..data.sampler import sample_negatives
-from ..graph import normalize_by_dst_degree
 from ..models import GAT, LinkPredictor, MLP
 from ..models.common import features_with_gdp
 from .losses import bce_loss, kd_cosine, mse_loss
@@ -75,9 +84,40 @@ def run_llp(cfg, log=None, fg=None):
         fg = load_flow_graph(cfg.year, cfg.data_dir)
     n, m = fg.n_src, fg.n_dst
     d = cfg.hidden_channels
+    if cfg.kd_f > 0.0 and d != m:
+        # The cosine KD term compares the student embedding (width d) to the
+        # teacher GAT embedding, whose width is M (LLP.py:293 builds the
+        # teacher with n_features=n_classes=Rcount, and its out-layer keeps
+        # that width).  The reference only "works" because hidden=32=M.
+        raise ValueError(
+            f"kd_f > 0 requires hidden_channels == n_dst ({m}); got {d}. "
+            "Set hidden_channels to the recipient count or kd_f=0."
+        )
 
-    g_norm = normalize_by_dst_degree(fg.inter)
-    inter_mask = fg.inter.to_dense() > 0
+    src = np.asarray(fg.edge_src)
+    dst = np.asarray(fg.edge_dst)
+    train_ids, test_ids = train_test_split_records(
+        fg.num_records, 0.9, cfg.seed
+    )
+    val_ids = np.zeros(0, np.int64)
+    val_fraction = float(getattr(cfg, "val_fraction", 0.0))
+    if val_fraction > 0.0:
+        n_val = int(val_fraction * len(train_ids))
+        val_ids, train_ids = train_ids[:n_val], train_ids[n_val:]
+
+    # Teacher message-passing graph.  Reference behaviour (no val split):
+    # the full-record bipartite adjacency (dataset built before splitting,
+    # LLP.py:200-209).  With a val split the teacher sees train edges only,
+    # +val edges under --use_valedges_as_input (LLP.py:21, OGB semantics).
+    if val_fraction > 0.0:
+        vis_ids = train_ids
+        if getattr(cfg, "use_valedges_as_input", False):
+            vis_ids = np.concatenate([train_ids, val_ids])
+        mask_np = np.zeros((n, m), dtype=bool)
+        mask_np[src[vis_ids], dst[vis_ids]] = True
+        inter_mask = jnp.asarray(mask_np)
+    else:
+        inter_mask = fg.inter.to_dense() > 0
 
     student = MLP(num_layers=cfg.num_layers, hidden_dim=d, output_dim=d,
                   dropout_ratio=cfg.dropout)
@@ -137,7 +177,22 @@ def run_llp(cfg, log=None, fg=None):
             cos = kd_cosine(h[pos_s], t_h[pos_s])
             mse = mse_loss(pos_score, jax.lax.stop_gradient(t_pos))
             total = cfg.true_label * label_loss + cfg.kd_f * cos + cfg.kd_p * mse
-            return total, {"label": label_loss, "kd_cosine": cos, "kd_mse": mse}
+            parts = {"label": label_loss, "kd_cosine": cos, "kd_mse": mse}
+            kd_rank = float(getattr(cfg, "kd_rank", 0.0))
+            if kd_rank > 0.0:
+                # Rank-based KD (declared via --margin, LLP.py:25): the
+                # student must preserve the teacher's pairwise ordering of
+                # (pos, neg) edge pairs by at least `margin`.
+                t_neg = teacher_predictor.apply(
+                    tp_vars, t_h[pos_s], t_h[neg_r], train=False
+                )
+                sign = jax.lax.stop_gradient(jnp.sign(t_pos - t_neg))
+                rank = jnp.mean(jax.nn.relu(
+                    cfg.margin - sign * (pos_score - neg_score)
+                ))
+                total = total + kd_rank * rank
+                parts["kd_rank"] = rank
+            return total, parts
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -175,14 +230,33 @@ def run_llp(cfg, log=None, fg=None):
         return predictor.apply({"params": params["predictor"]}, h[src], h[dst],
                                train=False)
 
-    src = np.asarray(fg.edge_src)
-    dst = np.asarray(fg.edge_dst)
-    train_ids, test_ids = train_test_split_records(
-        fg.num_records, 0.9, cfg.seed
-    )
     rng_np = np.random.default_rng(cfg.seed)
 
+    def evaluate(params, ids, neg_rng):
+        """AUC + Hits@K of held-out positives vs fresh uniform negatives."""
+        pos = []
+        for chunk, w in _batches(len(ids), cfg.batch_size, shuffle=False,
+                                 rng=np.random.default_rng(0)):
+            sel = ids[chunk]
+            keep = int(w.sum())
+            s = score_edges(params, jnp.asarray(src[sel]),
+                            jnp.asarray(dst[sel]))
+            pos.append(np.asarray(s)[:keep])
+        pos = np.concatenate(pos) if pos else np.zeros(0, np.float32)
+        neg_src = neg_rng.integers(0, n, max(len(ids), 1)).astype(np.int32)
+        neg_dst = neg_rng.integers(0, n, max(len(ids), 1)).astype(np.int32)
+        neg = np.asarray(
+            score_edges(params, jnp.asarray(neg_src), jnp.asarray(neg_dst))
+        )
+        return {
+            "auc": _binary_auc_np(pos, neg),
+            "hits@20": float(hits_at_k(jnp.asarray(pos), jnp.asarray(neg), 20)),
+            "hits@50": float(hits_at_k(jnp.asarray(pos), jnp.asarray(neg), 50)),
+        }
+
     history = []
+    best_metric, best_params, evals_since_best = -np.inf, None, 0
+    stopped_epoch = None
     for epoch in range(cfg.epochs):
         t0 = time.time()
         # stack the whole epoch's batches ([S, B]) for one scanned dispatch
@@ -208,27 +282,34 @@ def run_llp(cfg, log=None, fg=None):
              **{k: float(v) for k, v in parts.items()}})
         history.append(loss)
 
+        # periodic validation (--eval_steps) + early stopping (--patience)
+        # on the configured --metric, with best-checkpoint tracking.
+        if len(val_ids) and (epoch + 1) % max(cfg.eval_steps, 1) == 0:
+            val = evaluate(params, val_ids, np.random.default_rng(cfg.seed + 1))
+            score = val[cfg.metric]
+            log({"event": "llp_val", "epoch": epoch, **val})
+            if score > best_metric:
+                best_metric, evals_since_best = score, 0
+                best_params = jax.tree_util.tree_map(np.asarray, params)
+            else:
+                evals_since_best += 1
+                if evals_since_best >= cfg.patience:
+                    stopped_epoch = epoch
+                    break
+
+    if best_params is not None:
+        params = jax.tree_util.tree_map(jnp.asarray, best_params)
+
     # ---- evaluation: AUC + Hits@K over held-out positives vs negatives ----
-    pos_scores = []
-    for chunk, w in _batches(len(test_ids), cfg.batch_size, shuffle=False,
-                             rng=np.random.default_rng(0)):
-        ids = test_ids[chunk]
-        keep = int(w.sum())
-        s = score_edges(params, jnp.asarray(src[ids]), jnp.asarray(dst[ids]))
-        pos_scores.append(np.asarray(s)[:keep])
-    pos_scores = np.concatenate(pos_scores)
-    neg_src = rng_np.integers(0, n, len(test_ids)).astype(np.int32)
-    neg_dst = rng_np.integers(0, n, len(test_ids)).astype(np.int32)
-    neg_scores = np.asarray(
-        score_edges(params, jnp.asarray(neg_src), jnp.asarray(neg_dst))
-    )
     result = {
-        "auc": _binary_auc_np(pos_scores, neg_scores),
-        "hits@20": float(hits_at_k(jnp.asarray(pos_scores),
-                                   jnp.asarray(neg_scores), 20)),
-        "hits@50": float(hits_at_k(jnp.asarray(pos_scores),
-                                   jnp.asarray(neg_scores), 50)),
+        **evaluate(params, test_ids, rng_np),
         "final_train_loss": history[-1] if history else float("nan"),
     }
+    if len(val_ids):
+        result["best_val_" + cfg.metric] = (
+            float(best_metric) if best_metric > -np.inf else float("nan")
+        )
+    if stopped_epoch is not None:
+        result["early_stopped_epoch"] = stopped_epoch
     log({"event": "llp_eval", **result})
     return result

@@ -57,10 +57,18 @@ class LLPConfig:
     dropout: float = 0.5
     lr: float = 5e-3
     epochs: int = 10
-    eval_steps: int = 5
+    eval_steps: int = 5          # evaluate every k epochs (LLP.py:18)
     predictor: str = "mlp"       # mlp | inner
-    patience: int = 100
-    metric: str = "hits@20"      # auc | hits@20 | hits@50
+    patience: int = 100          # early-stop after k evals w/o improvement
+    metric: str = "hits@20"      # auc | hits@20 | hits@50 (LLP.py:20)
+    val_fraction: float = 0.0    # carve a val split out of the train records
+    use_valedges_as_input: bool = False  # val edges join the teacher's graph
+                                 # (LLP.py:21; only meaningful with a val split
+                                 # — the teacher graph then uses train edges
+                                 # only, +val when this flag is set)
+    kd_rank: float = 0.0         # weight of the margin-rank KD term
+                                 # (reference declares --margin, LLP.py:25,
+                                 # but never implements the loss)
     true_label: float = 10.0
     kd_f: float = 0.1
     kd_p: float = 100.0

@@ -1,0 +1,90 @@
+"""KD link-prediction pipeline (``training/kd.py`` — reference ``LLP.py``):
+end-to-end smoke plus the declared-but-unimplemented eval surface
+(``eval_steps`` / ``patience`` / ``val_fraction`` / ``use_valedges_as_input``
+/ rank-based KD, SURVEY §2.1 #15)."""
+
+import dataclasses
+
+import numpy as np
+
+from msha_gnn_tpu.training.kd import run_llp
+from msha_gnn_tpu.utils import LLPConfig
+from tests.test_training import make_tiny_flow
+
+
+def _tiny_cfg(**kw):
+    # hidden == M: the cosine KD term couples the student width to the
+    # teacher's (which is M, LLP.py:293) — the reference relies on 32 == 32.
+    base = dict(
+        num_layers=2, hidden_channels=5, epochs=2, batch_size=64,
+        seed=0, teacher_heads=1,
+    )
+    base.update(kw)
+    return LLPConfig(**base)
+
+
+def test_llp_end_to_end(rng):
+    fg, _, _ = make_tiny_flow(rng, n=50, m=5, records=300)
+    logs = []
+    result = run_llp(_tiny_cfg(), log=logs.append, fg=fg)
+    assert np.isfinite(result["final_train_loss"])
+    assert 0.0 <= result["auc"] <= 1.0
+    assert 0.0 <= result["hits@20"] <= 1.0
+    assert any(r["event"] == "llp_train_epoch" for r in logs)
+    # no val split -> no validation events, no early-stop keys
+    assert not any(r["event"] == "llp_val" for r in logs)
+    assert "early_stopped_epoch" not in result
+
+
+def test_llp_val_split_and_early_stopping(rng):
+    fg, _, _ = make_tiny_flow(rng, n=50, m=5, records=300)
+    logs = []
+    cfg = _tiny_cfg(epochs=6, eval_steps=1, patience=1, val_fraction=0.2,
+                    metric="auc")
+    result = run_llp(cfg, log=logs.append, fg=fg)
+    vals = [r for r in logs if r["event"] == "llp_val"]
+    assert vals, "eval_steps=1 must produce per-epoch validation events"
+    assert "best_val_auc" in result
+    assert np.isfinite(result["best_val_auc"])
+    # patience=1: stops at the first non-improving eval (tiny noisy run —
+    # just check the bookkeeping is consistent if it fired)
+    if "early_stopped_epoch" in result:
+        assert len(vals) <= result["early_stopped_epoch"] + 1
+
+
+def test_llp_valedges_as_input_changes_teacher_graph(rng):
+    """With a val split the teacher sees train-only edges; the flag adds the
+    val edges back.  Both must run and differ from the full-graph default."""
+    fg, _, _ = make_tiny_flow(rng, n=50, m=5, records=300)
+    cfg_a = _tiny_cfg(val_fraction=0.3, use_valedges_as_input=False)
+    cfg_b = _tiny_cfg(val_fraction=0.3, use_valedges_as_input=True)
+    ra = run_llp(cfg_a, fg=fg)
+    rb = run_llp(cfg_b, fg=fg)
+    assert np.isfinite(ra["final_train_loss"])
+    assert np.isfinite(rb["final_train_loss"])
+    # different teacher graphs -> different distillation targets -> the
+    # trained losses should not be bit-identical
+    assert ra["final_train_loss"] != rb["final_train_loss"]
+
+
+def test_llp_rank_kd_term(rng):
+    fg, _, _ = make_tiny_flow(rng, n=50, m=5, records=300)
+    logs = []
+    result = run_llp(_tiny_cfg(kd_rank=1.0, margin=0.1), log=logs.append,
+                     fg=fg)
+    assert np.isfinite(result["final_train_loss"])
+    epochs = [r for r in logs if r["event"] == "llp_train_epoch"]
+    assert all("kd_rank" in r for r in epochs)
+    assert all(r["kd_rank"] >= 0.0 for r in epochs)
+
+
+def test_llp_config_has_declared_surface():
+    """Every flag the reference argparser declares (LLP.py:8-32) exists."""
+    fields = {f.name for f in dataclasses.fields(LLPConfig)}
+    declared = {
+        "num_layers", "hidden_channels", "dropout", "lr", "epochs",
+        "eval_steps", "predictor", "patience", "metric", "true_label",
+        "kd_f", "kd_p", "margin", "rw_step", "ns_rate", "hops",
+        "ps_method", "batch_size", "use_valedges_as_input",
+    }
+    assert declared <= fields
