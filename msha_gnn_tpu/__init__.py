@@ -12,6 +12,7 @@ from .graph import (
     BipartiteGraph,
     FlowGraph,
     Grouping,
+    PairGrouping,
     dst_degrees,
     normalize_by_dst_degree,
     normalize_rows,
@@ -23,6 +24,7 @@ __version__ = "0.1.0"
 __all__ = [
     "BipartiteGraph",
     "FlowGraph",
+    "PairGrouping",
     "Grouping",
     "dst_degrees",
     "src_degrees",

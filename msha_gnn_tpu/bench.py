@@ -213,11 +213,17 @@ def bench_flagship(
     r_feat = jnp.asarray(
         rng.standard_normal((fg.n_dst, in_features)), jnp.float32
     )
+    # unpack the head-stacked "attention" module into the per-head dicts
+    # the dense reference formulation consumes
+    p_np = jax.tree.map(np.asarray, state.params)
     params = {
-        k: jax.tree.map(jnp.asarray, v)
-        for k, v in jax.tree.map(np.asarray, state.params).items()
-        if k.startswith("attention") or k == "out_att"
+        f"attention_{i}": {
+            k: jnp.asarray(v[i]) for k, v in p_np["attention"].items()
+            if k in ("W1", "W2", "a", "a3", "a4")
+        }
+        for i in range(2)
     }
+    params["out_att"] = jax.tree.map(jnp.asarray, p_np["out_att"])
     b_batch_np = rng.integers(0, b_n, batch_size)
     b_batch = jnp.asarray(b_batch_np, jnp.int32)
     city_rows = jnp.asarray(

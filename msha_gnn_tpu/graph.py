@@ -207,6 +207,40 @@ class Grouping:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class PairGrouping:
+    """Joint index over the unique ``(group_a, group_b)`` pairs of two
+    groupings over the same nodes.
+
+    Motivation: the MSHA intra aggregation broadcasts a per-city table AND a
+    per-province table back to all N nodes (``C[city_id] + P[prov_id]``,
+    train.py:113) — two N-row gathers, the hottest op family in the train
+    step (~54 us each on v5e at N=39k).  Summing the tables *in pair space*
+    first (K = unique pairs; 291 on the real data, where each city lies in
+    one province) turns that into ONE N-row gather.  Exact for any pair of
+    groupings — K just grows to the number of observed combinations.
+    """
+
+    pair_id: jax.Array    # [N] int32 in [0, num_pairs)
+    a_of_pair: jax.Array  # [K] int32: first grouping's id of each pair
+    b_of_pair: jax.Array  # [K] int32: second grouping's id of each pair
+    num_pairs: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def build(a: "Grouping", b: "Grouping") -> "PairGrouping":
+        ga = np.asarray(a.group_id, np.int64)
+        gb = np.asarray(b.group_id, np.int64)
+        key = ga * max(int(b.num_groups), 1) + gb
+        uniq, pair_id = np.unique(key, return_inverse=True)
+        return PairGrouping(
+            pair_id=jnp.asarray(pair_id.astype(np.int32)),
+            a_of_pair=jnp.asarray((uniq // max(int(b.num_groups), 1)).astype(np.int32)),
+            b_of_pair=jnp.asarray((uniq % max(int(b.num_groups), 1)).astype(np.int32)),
+            num_pairs=int(uniq.shape[0]),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class FlowGraph:
     """Everything ``dataset.HigherDataset`` exposes (``dataset.py:208-296``),
     in TPU-native form:

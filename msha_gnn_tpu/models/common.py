@@ -34,6 +34,20 @@ def xavier_uniform(gain: float = XAVIER_GAIN):
     return init
 
 
+def xavier_uniform_stacked(gain: float = XAVIER_GAIN):
+    """Per-head xavier for head-stacked parameters [H, rows, cols]: the
+    bound uses each head's 2-D fan (identical distribution to H separate
+    :func:`xavier_uniform` draws), so fusing the heads into one parameter
+    does not change the reference init (train.py:54-62)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_out, fan_in = shape[-2], shape[-1]
+        bound = gain * (6.0 / (fan_in + fan_out)) ** 0.5
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def features_with_gdp(key, n: int, dim: int, gdp: Array) -> Array:
     """``cat([rand(N, d)[:, :-1], gdp_col], dim=1)`` (``train.py:156-157``)."""
     feats = jax.random.uniform(key, (n, dim))

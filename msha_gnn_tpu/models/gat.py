@@ -32,6 +32,7 @@ from ..ops import (
     masked_row_softmax,
     self_concat_logits,
     spmm,
+    take_rows,
 )
 from .common import elu, gdp_feature_init, xavier_uniform
 
@@ -89,7 +90,8 @@ class GAT(nn.Module):
 
     @nn.compact
     def __call__(
-        self, adj_mask: Array, x: Optional[Array] = None, *, train: bool
+        self, adj_mask: Array, x: Optional[Array] = None, *, train: bool,
+        rows: Optional[Array] = None,
     ) -> Array:
         if x is None:
             assert self.gdp is not None
@@ -98,6 +100,13 @@ class GAT(nn.Module):
                 gdp_feature_init(self.gdp, self.n_features),
                 (self.gdp.shape[0], self.n_features),
             )
+        if rows is not None:
+            # The reference GAT is entirely row-local (self-concat logits,
+            # elementwise aggregation: GAT.py:24-34), so scoring the B
+            # minibatch rows of the loss (train.py:229) needs only those
+            # rows of the features/mask — N=39k -> B=64 work per step.
+            x = take_rows(x, rows)
+            adj_mask = adj_mask[rows]
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         heads = [
             MaskedGATLayer(self.n_features, self.n_classes, self.dropout,

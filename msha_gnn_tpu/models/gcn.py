@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..graph import BipartiteGraph
-from ..ops import spmm
+from ..ops import spmm, take_rows
 
 Array = jax.Array
 
@@ -79,7 +79,7 @@ class GCN(nn.Module):
 
     @nn.compact
     def __call__(self, graph: BipartiteGraph, *, train: bool,
-                 impl: str = "xla") -> Array:
+                 impl: str = "xla", rows: Optional[Array] = None) -> Array:
         n = self.gdp.shape[0]
 
         def feat_init(key, shape, dtype=jnp.float32):
@@ -98,4 +98,8 @@ class GCN(nn.Module):
                 x, graph, to_src=True, impl=impl
             )
         )  # [N, nhid]
+        if rows is not None:
+            # the loss reads B of N rows and log_softmax is row-local; the
+            # one-hot-transpose gather avoids a serial scatter in the vjp
+            x = take_rows(x, rows)
         return jax.nn.log_softmax(x, axis=1)

@@ -18,6 +18,10 @@ from .grouped import (
     clique_masked_softmax_dense,
     clique_row_scalar_logits,
     clique_weighted_scatter,
+    clique_weighted_scatter_pair,
+    group_scatter,
+    pair_scatter,
+    take_rows,
 )
 
 __all__ = [
@@ -38,5 +42,9 @@ __all__ = [
     "clique_row_scalar_logits",
     "clique_exp_row_sum",
     "clique_weighted_scatter",
+    "clique_weighted_scatter_pair",
+    "group_scatter",
+    "pair_scatter",
+    "take_rows",
     "clique_masked_softmax_dense",
 ]

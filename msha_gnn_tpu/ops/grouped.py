@@ -57,6 +57,32 @@ def _gather_by_group_bwd(res, g):
 gather_by_group.defvjp(_gather_by_group_fwd, _gather_by_group_bwd)
 
 
+@jax.custom_vjp
+def take_rows(x: Array, rows: Array) -> Array:
+    """``x[rows]`` with an MXU-friendly transpose.
+
+    Same trick as :func:`gather_by_group`, aimed at minibatch row selection
+    (``h2[batch]``, ``att_inter[batch]``, score rows): the plain gather's
+    autodiff transpose is a serial scatter-add into [N, d] (~270 us per call
+    on v5e at N=39k); the one-hot matmul ``one_hot(rows, N).T @ g`` is a
+    [N, B] x [B, d] MXU pass (~10 us).  Exact for fp32 grads: the one-hot
+    matrix is 0/1 so no accumulation precision is lost."""
+    return x[rows]
+
+
+def _take_rows_fwd(x, rows):
+    return x[rows], (rows, x.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    rows, n = res
+    one_hot = jax.nn.one_hot(rows, n, dtype=g.dtype)  # [B, N]
+    return one_hot.T @ g, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 def clique_row_scalar_logits(
     h_batch: Array, a: Array, *, negative_slope: float = 0.2
 ) -> Array:
@@ -79,6 +105,35 @@ def clique_exp_row_sum(
     return cnt * jnp.exp(row_logit)
 
 
+def group_scatter(contrib: Array, grouping: Grouping, batch_index: Array) -> Array:
+    """Broadcast-sum per-sample contributions over each sample's clique:
+    ``out[n] = sum_{b : group(b) == group(n)} contrib[b]``."""
+    per_group = segment_sum(contrib, grouping.group_id[batch_index],
+                            grouping.num_groups)
+    return gather_by_group(per_group, grouping.group_id)  # [N, d]
+
+
+def pair_scatter(
+    contrib_a: Array,
+    contrib_b: Array,
+    grouping_a: Grouping,
+    grouping_b: Grouping,
+    pair,
+    batch_index: Array,
+) -> Array:
+    """``group_scatter(contrib_a, grouping_a) + group_scatter(contrib_b,
+    grouping_b)`` fused through the pair table
+    (:class:`~msha_gnn_tpu.graph.PairGrouping`): the two per-group tables
+    are summed in K-pair space (tiny) so only ONE N-row broadcast gather
+    remains instead of two."""
+    pg_a = segment_sum(contrib_a, grouping_a.group_id[batch_index],
+                       grouping_a.num_groups)
+    pg_b = segment_sum(contrib_b, grouping_b.group_id[batch_index],
+                       grouping_b.num_groups)
+    table = pg_a[pair.a_of_pair] + pg_b[pair.b_of_pair]  # [K, d]
+    return gather_by_group(table, pair.pair_id)          # [N, d]
+
+
 def clique_weighted_scatter(
     weights: Array,
     values: Array,
@@ -95,9 +150,23 @@ def clique_weighted_scatter(
     = segment-sum of ``weights[b] * values[b]`` keyed by the sample's group,
     gathered back at each node's group.  O(B*d + G*d) instead of O(B*N*d).
     """
-    contrib = weights[:, None] * values  # [B, d]
-    per_group = segment_sum(contrib, grouping.group_id[batch_index], grouping.num_groups)
-    return gather_by_group(per_group, grouping.group_id)  # [N, d]
+    return group_scatter(weights[:, None] * values, grouping, batch_index)
+
+
+def clique_weighted_scatter_pair(
+    weights_a: Array,
+    weights_b: Array,
+    values: Array,
+    grouping_a: Grouping,
+    grouping_b: Grouping,
+    pair,
+    batch_index: Array,
+) -> Array:
+    """Weighted form of :func:`pair_scatter` (one shared ``values``)."""
+    return pair_scatter(
+        weights_a[:, None] * values, weights_b[:, None] * values,
+        grouping_a, grouping_b, pair, batch_index,
+    )
 
 
 def clique_masked_softmax_dense(

@@ -157,14 +157,24 @@ def run_llp(cfg, log=None, fg=None):
     def _step_body(params, opt_state, t_h, pos_s, pos_r, neg_r, rng):
         def loss_fn(params):
             r1, r2, r3 = jax.random.split(rng, 3)
-            h = student.apply({"params": params["student"]}, features,
-                              train=True, rngs={"dropout": r1})
+            # The default student has no batch norm (norm_type='none',
+            # LLP.py argparse exposes none), so it is row-local: encode only
+            # the 3B rows the losses read instead of all N (the reference
+            # recomputes the full-graph student per batch, LLP.py:231).
+            # `features` is a constant (never optimised, LLP.py:299), so the
+            # row gather has no vjp scatter.  Nodes repeated across the
+            # three index sets draw independent dropout masks (identical in
+            # expectation; the full-graph version shares a per-node mask).
+            idx = jnp.concatenate([pos_s, pos_r, neg_r])
+            h3 = student.apply({"params": params["student"]}, features[idx],
+                               train=True, rngs={"dropout": r1})
+            h_ps, h_pr, h_nr = jnp.split(h3, 3)
             pos_score = predictor.apply(
-                {"params": params["predictor"]}, h[pos_s], h[pos_r],
+                {"params": params["predictor"]}, h_ps, h_pr,
                 train=True, rngs={"dropout": r2},
             )
             neg_score = predictor.apply(
-                {"params": params["predictor"]}, h[pos_s], h[neg_r],
+                {"params": params["predictor"]}, h_ps, h_nr,
                 train=True, rngs={"dropout": r3},
             )
             label_loss = 0.5 * (
@@ -174,7 +184,7 @@ def run_llp(cfg, log=None, fg=None):
             t_pos = teacher_predictor.apply(
                 tp_vars, t_h[pos_s], t_h[pos_r], train=False
             )
-            cos = kd_cosine(h[pos_s], t_h[pos_s])
+            cos = kd_cosine(h_ps, t_h[pos_s])
             mse = mse_loss(pos_score, jax.lax.stop_gradient(t_pos))
             total = cfg.true_label * label_loss + cfg.kd_f * cos + cfg.kd_p * mse
             parts = {"label": label_loss, "kd_cosine": cos, "kd_mse": mse}
@@ -226,8 +236,13 @@ def run_llp(cfg, log=None, fg=None):
 
     @jax.jit
     def score_edges(params, src, dst):
-        h = student.apply({"params": params["student"]}, features, train=False)
-        return predictor.apply({"params": params["predictor"]}, h[src], h[dst],
+        # row-local student, no dropout in eval: encoding only the queried
+        # rows is exact
+        idx = jnp.concatenate([src, dst])
+        h2 = student.apply({"params": params["student"]}, features[idx],
+                           train=False)
+        h_s, h_d = jnp.split(h2, 2)
+        return predictor.apply({"params": params["predictor"]}, h_s, h_d,
                                train=False)
 
     rng_np = np.random.default_rng(cfg.seed)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph import FlowGraph, normalize_by_dst_degree
+from ..graph import FlowGraph, PairGrouping, normalize_by_dst_degree
 from ..models import GAT, GCN, MSHA, GraphSAGE
 from .optim import adam_l2
 from .trainer import Task
@@ -64,17 +64,21 @@ def msha_task(
         gdp=fg.gdp,
     )
     city, prov = fg.city, fg.province
+    pair = PairGrouping.build(city, prov) if use_intra else None
 
     def forward(variables, batch_idx, *, train, rngs):
+        # rows=batch_idx: score only the minibatch rows (row-local output
+        # stack; BN statistics still span all N rows inside the model)
         out = model.apply(
             variables, inter_mask, city, prov, batch_idx,
-            train=train, rngs=rngs, mutable=_mutable(train),
+            train=train, rngs=rngs, mutable=_mutable(train), rows=batch_idx,
+            pair=pair,
         )
         if train:
             logp, mutated = out
         else:
             logp, mutated = out, {}
-        return logp[batch_idx], mutated
+        return logp, mutated
 
     variables = model.init(
         jax.random.key(seed), inter_mask, city, prov,
@@ -120,8 +124,9 @@ def gat_task(
     )
 
     def forward(variables, batch_idx, *, train, rngs):
-        logp = model.apply(variables, inter_mask, train=train, rngs=rngs)
-        return logp[batch_idx], {}
+        logp = model.apply(variables, inter_mask, train=train, rngs=rngs,
+                           rows=batch_idx)
+        return logp, {}
 
     variables = model.init(jax.random.key(seed), inter_mask, train=False)
 
@@ -153,8 +158,9 @@ def gcn_task(
                 gdp=fg.gdp)
 
     def forward(variables, batch_idx, *, train, rngs):
-        logp = model.apply(variables, g_norm, train=train, rngs=rngs)
-        return logp[batch_idx], {}
+        logp = model.apply(variables, g_norm, train=train, rngs=rngs,
+                           rows=batch_idx)
+        return logp, {}
 
     variables = model.init(jax.random.key(seed), g_norm, train=False)
 

@@ -121,18 +121,12 @@ class TemporalMSHA(nn.Module):
         )
         r_in = nn.Dropout(self.dropout, deterministic=not train)(r_feat)
 
-        outs = []
-        for i in range(self.n_heads):
-            layer = MSHALayer(
-                self.in_features, self.out_features, self.dropout,
-                use_intra=self.use_intra, joint_softmax=self.joint_softmax,
-                name=f"attention_{i}",
-            )
-            outs.append(
-                layer(s_in, r_in, inter_mask, city, province, batch,
-                      train=train)
-            )
-        x = jnp.concatenate(outs, axis=1)
+        layer = MSHALayer(
+            self.in_features, self.out_features, self.dropout,
+            use_intra=self.use_intra, joint_softmax=self.joint_softmax,
+            n_heads=self.n_heads, name="attention",
+        )
+        x = layer(s_in, r_in, inter_mask, city, province, batch, train=train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         if self.use_out_att:
             x = elu(

@@ -80,10 +80,12 @@ def test_msha_layer_parity(rng, use_intra, joint):
     variables = layer.init(jax.random.key(2), *args, train=False)
     p = jax.tree.map(np.asarray, variables["params"])
     got = np.asarray(layer.apply(variables, *args, train=False))
+    # head-stacked params: slice head 0 for the single-head oracle
+    p_head = {k: v[0] for k, v in p.items() if k in ("W1", "W2", "a", "a3", "a4")}
     want = oracles.msha_layer(
         s, r, mask,
-        np.asarray(city.to_dense()), np.asarray(prov.to_dense()), batch, p,
-        use_intra=use_intra, joint=joint,
+        np.asarray(city.to_dense()), np.asarray(prov.to_dense()), batch,
+        p_head, use_intra=use_intra, joint=joint,
     )
     np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
 
@@ -108,9 +110,18 @@ def test_msha_model_parity(rng, kwargs):
     variables = model.init(jax.random.key(3), *args, train=False)
     p = jax.tree.map(np.asarray, variables["params"])
     got = np.asarray(model.apply(variables, *args, train=False))
+    # expand the head-stacked "attention" module into the per-head dicts
+    # the dense oracle consumes
+    p_oracle = {k: v for k, v in p.items() if k != "attention"}
+    for i in range(kwargs["n_heads"]):
+        p_oracle[f"attention_{i}"] = {
+            k: v[i] for k, v in p["attention"].items()
+            if k in ("W1", "W2", "a", "a3", "a4")
+        }
     want = oracles.msha_model(
         p["Sfeatures"], p["Rfeatures"], mask,
-        np.asarray(city.to_dense()), np.asarray(prov.to_dense()), batch, p,
+        np.asarray(city.to_dense()), np.asarray(prov.to_dense()), batch,
+        p_oracle,
         n_heads=kwargs["n_heads"], use_intra=kwargs["use_intra"],
         joint=kwargs["joint_softmax"], use_out_att=kwargs["use_out_att"],
     )

@@ -205,3 +205,57 @@ def test_gather_by_group_grad_matches_plain_gather(rng):
     g_plain = jax.grad(lambda p: (p[gid] * ct).sum())(pg)
     np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_take_rows_matches_plain_gather(rng):
+    """take_rows' one-hot-matmul backward == the plain gather's grad."""
+    from msha_gnn_tpu.ops import take_rows
+
+    n, d, b = 211, 6, 17
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, b).astype(np.int32))  # with repeats
+    ct = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(take_rows(x, idx)), np.asarray(x)[np.asarray(idx)]
+    )
+    g_custom = jax.grad(lambda p: (take_rows(p, idx) * ct).sum())(x)
+    g_plain = jax.grad(lambda p: (p[idx] * ct).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pair_grouping_and_pair_scatter(rng):
+    """PairGrouping's joint index is consistent, and pair_scatter ==
+    group_scatter(city) + group_scatter(province) for ANY grouping pair
+    (nested or not), including in the vjp."""
+    from msha_gnn_tpu.graph import PairGrouping
+    from msha_gnn_tpu.ops import group_scatter, pair_scatter
+
+    n, d, b_sz = 40, 5, 13
+    city = Grouping.from_ids(rng.integers(0, 7, n))
+    prov = Grouping.from_ids(rng.integers(0, 3, n))  # NOT nested in city
+    pair = PairGrouping.build(city, prov)
+
+    gid_c = np.asarray(city.group_id)
+    gid_p = np.asarray(prov.group_id)
+    pid = np.asarray(pair.pair_id)
+    # every node's pair decodes back to its (city, prov)
+    np.testing.assert_array_equal(np.asarray(pair.a_of_pair)[pid], gid_c)
+    np.testing.assert_array_equal(np.asarray(pair.b_of_pair)[pid], gid_p)
+    assert pair.num_pairs == len({(c, p) for c, p in zip(gid_c, gid_p)})
+
+    batch = jnp.asarray(rng.integers(0, n, b_sz).astype(np.int32))
+    ca = jnp.asarray(rng.standard_normal((b_sz, d)).astype(np.float32))
+    cb = jnp.asarray(rng.standard_normal((b_sz, d)).astype(np.float32))
+
+    fused = pair_scatter(ca, cb, city, prov, pair, batch)
+    separate = group_scatter(ca, city, batch) + group_scatter(cb, prov, batch)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(separate),
+                               rtol=1e-5, atol=1e-6)
+
+    g_f = jax.grad(lambda a: pair_scatter(a, cb, city, prov, pair, batch).sum())(ca)
+    g_s = jax.grad(lambda a: (group_scatter(a, city, batch)
+                              + group_scatter(cb, prov, batch)).sum())(ca)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s),
+                               rtol=1e-5, atol=1e-6)

@@ -46,7 +46,10 @@ def make_tiny_flow(rng, n=60, m=5, records=400):
     [
         (msha_task, dict(in_features=16, out_features=8, use_intra=True)),
         (msha_task, dict(in_features=16, out_features=8, use_intra=False)),
-        (gat_task, {}),
+        # dropout=0.1: at the reference's 0.5 the tiny-graph GAT loss is
+        # dominated by dropout noise (self-concat attention is uniform and
+        # nearly featureless) and "decreases within 5 epochs" is a coin flip
+        (gat_task, dict(dropout=0.1)),
         (gcn_task, dict(nfeat=8)),
         (sage_task, dict(in_features=8)),
         (hgane_task, dict(in_features=16, out_features=8)),
@@ -124,7 +127,7 @@ def test_temporal_msha_joint_training(rng):
     # shared head params exist once; per-year feature tables for all years
     assert "Sfeatures_2015" in params and "Sfeatures_2017" in params
     assert params["Sfeatures_2015"].shape == (40, 16)
-    assert "attention_0" in params and "attention_0_2016" not in params
+    assert "attention" in params and "attention_2016" not in params
     for y in ["2015", "2016"]:
         first = history[0][y]["train_loss"]
         best = min(h[y]["train_loss"] for h in history[1:])
