@@ -7,7 +7,12 @@ from .mesh import (
 )
 from .dist_spmm import DistributedSpmm, RingSpmm
 from .partition import balanced_edge_partition, partition_edges_by_src
-from .sharded import make_sharded_msha_step, run_one_sharded_step, state_shardings
+from .sharded import (
+    make_sharded_linkpred_step,
+    make_sharded_msha_step,
+    run_one_sharded_step,
+    state_shardings,
+)
 
 __all__ = [
     "make_mesh",
@@ -20,6 +25,7 @@ __all__ = [
     "partition_edges_by_src",
     "balanced_edge_partition",
     "state_shardings",
+    "make_sharded_linkpred_step",
     "make_sharded_msha_step",
     "run_one_sharded_step",
 ]
