@@ -346,10 +346,11 @@ def bench_sddmm(n_src=131072, n_dst=131072, n_edges=2_000_000, d=128,
                 impl="xla", iters=20):
     """Vector SDDMM (per-edge <h_s, h_r> over d dims).
 
-    Measured on v5e: XLA's two hardware row-gathers + fused dot beat the
-    one-hot-matmul Pallas reconstruction (16.5 ms vs 27 ms at 2M edges), so
-    XLA is the default; the models' hot paths use rank-1 factored logits
-    (ops.dense/ops.grouped) that avoid per-edge vector SDDMM entirely."""
+    GOLDEN.md records the current chunk-visit Pallas kernel at 9.1 ms vs
+    XLA's 16.3 ms (1.79x) at 2M edges, d=128.  (An earlier one-hot
+    reconstruction lost to XLA at 27 ms — superseded.)  The models' hot
+    paths use rank-1 factored logits (ops.dense/ops.grouped) that avoid
+    per-edge vector SDDMM entirely."""
     from .ops import sddmm_dot
 
     g, x = make_powerlaw_graph(n_src, n_dst, n_edges, d=1)

@@ -7,8 +7,6 @@ single-chip and multi-host runs.
 from __future__ import annotations
 
 import os
-
-import jax
 from typing import Optional
 
 import orbax.checkpoint as ocp

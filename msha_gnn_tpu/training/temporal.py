@@ -32,7 +32,7 @@ import flax.linen as nn
 import numpy as np
 import optax
 
-from ..graph import FlowGraph, Grouping
+from ..graph import FlowGraph, Grouping, PairGrouping
 from ..models.common import elu, gdp_feature_init
 from ..models.gat import MaskedGATLayer
 from ..models.msha import MSHALayer
@@ -100,6 +100,8 @@ class TemporalMSHA(nn.Module):
         batch: Array,
         *,
         train: bool,
+        rows: Optional[Array] = None,  # restrict output scores to these rows
+        pair=None,  # PairGrouping(city, province) fused intra gather
     ):
         m = self.n_classes
         # Create EVERY year's feature table each call so the param tree is
@@ -126,13 +128,15 @@ class TemporalMSHA(nn.Module):
             use_intra=self.use_intra, joint_softmax=self.joint_softmax,
             n_heads=self.n_heads, name="attention",
         )
-        x = layer(s_in, r_in, inter_mask, city, province, batch, train=train)
+        x = layer(s_in, r_in, inter_mask, city, province, batch, train=train,
+                  rows=rows, pair=pair)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        out_mask = inter_mask if rows is None else inter_mask[rows]
         if self.use_out_att:
             x = elu(
                 MaskedGATLayer(
                     m * self.n_heads, m, self.dropout, name="out_att"
-                )(x, inter_mask, train=train)
+                )(x, out_mask, train=train)
             )
         else:
             x = elu(x)
@@ -194,6 +198,8 @@ def train_temporal_msha(
     if not active:
         raise ValueError("no year has flow records")
 
+    pairs = {y: PairGrouping.build(fgs[y].city, fgs[y].province)
+             for y in active}
     y0 = active[0]
     variables = model.init(
         jax.random.key(seed), y0, masks[y0], fgs[y0].city, fgs[y0].province,
@@ -209,13 +215,12 @@ def train_temporal_msha(
         fg = fgs[year]
 
         def loss_fn(p):
-            out, mutated = model.apply(
+            logp, mutated = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 year, masks[year], fg.city, fg.province, batch,
                 train=True, rngs={"dropout": rng},
-                mutable=["batch_stats"],
+                mutable=["batch_stats"], rows=batch, pair=pairs[year],
             )
-            logp = out[batch]
             per = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
             return per.mean(), mutated
 
