@@ -95,3 +95,27 @@ def test_empty_graph():
     assert g.num_edges == 0
     np.testing.assert_allclose(np.asarray(g.to_dense()), np.zeros((4, 3)))
     np.testing.assert_allclose(np.asarray(src_degrees(g)), np.zeros(4))
+
+
+def test_load_flow_graph_missing_year():
+    """A year with no Adjacent JSON raises FileNotFoundError (no silent
+    empty graph — only missing *Flow* CSVs degrade gracefully)."""
+    import pytest
+
+    from msha_gnn_tpu.data import load_flow_graph
+
+    with pytest.raises(FileNotFoundError):
+        load_flow_graph("2099", "/root/reference/anonymous_data")
+
+
+def test_split_determinism():
+    from msha_gnn_tpu.data import train_test_split_records
+
+    a1, b1 = train_test_split_records(1000, 0.9, seed=7)
+    a2, b2 = train_test_split_records(1000, 0.9, seed=7)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+    a3, _ = train_test_split_records(1000, 0.9, seed=8)
+    assert not np.array_equal(a1, a3)
+    assert len(a1) == 900 and len(b1) == 100
+    assert len(np.intersect1d(a1, b1)) == 0
