@@ -73,12 +73,13 @@ def dense_reference_msha_forward(params, s_feat, r_feat, inter_adj,
         return jnp.where(jax.random.bernoulli(key, keep, x.shape),
                          x / keep, 0.0)
 
-    keys = iter(jax.random.split(rng, 16))
+    keys = iter(jax.random.split(rng, 32))
     s_feat = drop(s_feat, next(keys))
     r_feat = drop(r_feat, next(keys))
     outs = []
     n, m = inter_adj.shape
-    for head in ("attention_0", "attention_1"):
+    heads = sorted(k for k in params if k.startswith("attention_"))
+    for head in heads:
         p = params[head]
         h1 = r_feat @ p["W1"]
         h2 = s_feat @ p["W2"]
@@ -216,12 +217,13 @@ def bench_flagship(
     # unpack the head-stacked "attention" module into the per-head dicts
     # the dense reference formulation consumes
     p_np = jax.tree.map(np.asarray, state.params)
+    n_heads = p_np["attention"]["W1"].shape[0]
     params = {
         f"attention_{i}": {
             k: jnp.asarray(v[i]) for k, v in p_np["attention"].items()
             if k in ("W1", "W2", "a", "a3", "a4")
         }
-        for i in range(2)
+        for i in range(n_heads)
     }
     params["out_att"] = jax.tree.map(jnp.asarray, p_np["out_att"])
     b_batch_np = rng.integers(0, b_n, batch_size)

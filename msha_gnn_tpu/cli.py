@@ -28,7 +28,10 @@ def _add_dataclass_args(parser, cls):
         elif f.type in ("Optional[str]",):
             parser.add_argument(f"--{f.name}", type=str, default=f.default)
         elif f.type in ("bool", bool):
-            parser.add_argument(f"--{f.name}", action="store_true",
+            # BooleanOptionalAction also generates --no-<name>, so a field
+            # defaulting to True stays switchable from the CLI
+            parser.add_argument(f"--{f.name}",
+                                action=argparse.BooleanOptionalAction,
                                 default=f.default)
 
 

@@ -18,7 +18,6 @@ from .grouped import (
     clique_masked_softmax_dense,
     clique_row_scalar_logits,
     clique_weighted_scatter,
-    clique_weighted_scatter_pair,
     group_scatter,
     pair_scatter,
     take_rows,
@@ -42,7 +41,6 @@ __all__ = [
     "clique_row_scalar_logits",
     "clique_exp_row_sum",
     "clique_weighted_scatter",
-    "clique_weighted_scatter_pair",
     "group_scatter",
     "pair_scatter",
     "take_rows",

@@ -153,22 +153,6 @@ def clique_weighted_scatter(
     return group_scatter(weights[:, None] * values, grouping, batch_index)
 
 
-def clique_weighted_scatter_pair(
-    weights_a: Array,
-    weights_b: Array,
-    values: Array,
-    grouping_a: Grouping,
-    grouping_b: Grouping,
-    pair,
-    batch_index: Array,
-) -> Array:
-    """Weighted form of :func:`pair_scatter` (one shared ``values``)."""
-    return pair_scatter(
-        weights_a[:, None] * values, weights_b[:, None] * values,
-        grouping_a, grouping_b, pair, batch_index,
-    )
-
-
 def clique_masked_softmax_dense(
     row_logit: Array,
     grouping: Grouping,

@@ -21,8 +21,16 @@ Repaired-intent notes (SURVEY §2.2 #2-4, §2.1 #15):
 * The teacher is frozen at init exactly as in the reference (its params are
   simply never in the optimiser, ``LLP.py:299``); ``pretrain_teacher_epochs``
   optionally trains it first on its own link objective — off by default.
-* Metrics: binary AUC over pos/neg edge scores + Hits@20/50 — the declared
-  surface (``LLP.py:20``).
+* Metrics — two modes.  ``eval_mode='link'`` (default): binary AUC over
+  pos/neg edge scores + Hits@20/50, the declared surface (``LLP.py:20``),
+  with negatives corrupting the *recipient* endpoint within [0, M) so the
+  metric stays in the domain positives come from (training negatives
+  match).  ``eval_mode='multiclass'`` (+ ``final_linear=False``):
+  the reference's literal ``test()`` (``LLP.py:250-286``), which scores
+  the shipped predictor's (B, hidden) sigmoid output as a multiclass
+  prediction over the M recipients — shape-coupled to hidden == M == 32.
+* The last partial batch is padded + weight-masked (the reference takes a
+  short dynamic batch; every loss term here is a weighted batch mean).
 * The declared eval/early-stop surface (``LLP.py:18-21,25`` — none of it
   implemented in the reference) is implemented here: ``eval_steps`` periodic
   validation, ``patience`` early stopping on the configured ``metric`` with
@@ -48,7 +56,6 @@ from ..data import load_flow_graph, train_test_split_records
 from ..data.sampler import sample_negatives
 from ..models import GAT, LinkPredictor, MLP
 from ..models.common import features_with_gdp
-from .losses import bce_loss, kd_cosine, mse_loss
 from .metrics import hits_at_k
 from .optim import adam_l2
 from .trainer import _batches
@@ -119,10 +126,29 @@ def run_llp(cfg, log=None, fg=None):
     else:
         inter_mask = fg.inter.to_dense() > 0
 
+    eval_mode = getattr(cfg, "eval_mode", "link")
+    final_linear = bool(getattr(cfg, "final_linear", True))
+    if eval_mode == "multiclass":
+        if final_linear:
+            raise ValueError(
+                "eval_mode='multiclass' reproduces the reference's literal "
+                "test() (LLP.py:250-286), which scores the predictor's "
+                "(B, hidden) output as recipient classes — set "
+                "final_linear=False (the shipped predictor, LLP.py:111)."
+            )
+        if d != m:
+            raise ValueError(
+                f"eval_mode='multiclass' needs hidden_channels == n_dst "
+                f"({m}); got {d}."
+            )
+    elif eval_mode != "link":
+        raise ValueError(f"unknown eval_mode {eval_mode!r}")
+
     student = MLP(num_layers=cfg.num_layers, hidden_dim=d, output_dim=d,
                   dropout_ratio=cfg.dropout)
     predictor = LinkPredictor(predictor=cfg.predictor, hidden_channels=d,
-                              num_layers=cfg.num_layers, dropout=cfg.dropout)
+                              num_layers=cfg.num_layers, dropout=cfg.dropout,
+                              final_linear=final_linear)
     # Teacher GAT sees the bipartite adjacency; its feature width is M
     # (LLP.py:293: n_features=Rcount) so the reference out-layer dims align.
     teacher = GAT(n_features=m, n_classes=m, n_heads=cfg.teacher_heads,
@@ -130,7 +156,8 @@ def run_llp(cfg, log=None, fg=None):
     teacher_predictor = LinkPredictor(predictor=cfg.predictor,
                                       hidden_channels=m,
                                       num_layers=cfg.num_layers,
-                                      dropout=cfg.dropout)
+                                      dropout=cfg.dropout,
+                                      final_linear=final_linear)
 
     key = jax.random.key(cfg.seed)
     key, k_feat, k_s, k_p, k_t, k_tp = jax.random.split(key, 6)
@@ -154,7 +181,17 @@ def run_llp(cfg, log=None, fg=None):
     # LLP.py:232).
     t_h_const = teacher.apply(t_vars, inter_mask, features, train=False)
 
-    def _step_body(params, opt_state, t_h, pos_s, pos_r, neg_r, rng):
+    def _wmean(x, w):
+        """Weighted mean over the batch: padded entries of the last partial
+        batch carry weight 0 (the reference's DataLoader takes a short
+        dynamic batch; static shapes pad + mask instead).  Non-scalar
+        per-sample losses (the shipped final_linear=False predictor emits
+        (B, hidden) score matrices) reduce over their trailing axes first."""
+        if x.ndim > 1:
+            x = x.mean(axis=tuple(range(1, x.ndim)))
+        return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    def _step_body(params, opt_state, t_h, pos_s, pos_r, neg_r, w, rng):
         def loss_fn(params):
             r1, r2, r3 = jax.random.split(rng, 3)
             # The default student has no batch norm (norm_type='none',
@@ -178,14 +215,23 @@ def run_llp(cfg, log=None, fg=None):
                 train=True, rngs={"dropout": r3},
             )
             label_loss = 0.5 * (
-                bce_loss(pos_score, jnp.ones_like(pos_score))
-                + bce_loss(neg_score, jnp.zeros_like(neg_score))
+                _wmean(-jnp.log(pos_score), w)
+                + _wmean(-jnp.log(1.0 - neg_score), w)
             )
             t_pos = teacher_predictor.apply(
                 tp_vars, t_h[pos_s], t_h[pos_r], train=False
             )
-            cos = kd_cosine(h_ps, t_h[pos_s])
-            mse = mse_loss(pos_score, jax.lax.stop_gradient(t_pos))
+            # per-row cosine KD (losses.kd_cosine semantics, batch-weighted)
+            t_det = jax.lax.stop_gradient(t_h[pos_s])
+            eps = 1e-8
+            cos_row = jnp.sum(h_ps * t_det, axis=-1) / jnp.sqrt(
+                (jnp.sum(h_ps * h_ps, axis=-1) + eps)
+                * (jnp.sum(t_det * t_det, axis=-1) + eps)
+            )
+            cos = 1.0 - _wmean(cos_row, w)
+            mse = _wmean(
+                (pos_score - jax.lax.stop_gradient(t_pos)) ** 2, w
+            )
             total = cfg.true_label * label_loss + cfg.kd_f * cos + cfg.kd_p * mse
             parts = {"label": label_loss, "kd_cosine": cos, "kd_mse": mse}
             kd_rank = float(getattr(cfg, "kd_rank", 0.0))
@@ -197,9 +243,9 @@ def run_llp(cfg, log=None, fg=None):
                     tp_vars, t_h[pos_s], t_h[neg_r], train=False
                 )
                 sign = jax.lax.stop_gradient(jnp.sign(t_pos - t_neg))
-                rank = jnp.mean(jax.nn.relu(
+                rank = _wmean(jax.nn.relu(
                     cfg.margin - sign * (pos_score - neg_score)
-                ))
+                ), w)
                 total = total + kd_rank * rank
                 parts["kd_rank"] = rank
             return total, parts
@@ -210,26 +256,26 @@ def run_llp(cfg, log=None, fg=None):
         return params, opt_state, loss, parts
 
     @jax.jit
-    def train_step(params, opt_state, t_h, pos_s, pos_r, neg_r, rng):
-        return _step_body(params, opt_state, t_h, pos_s, pos_r, neg_r, rng)
+    def train_step(params, opt_state, t_h, pos_s, pos_r, neg_r, w, rng):
+        return _step_body(params, opt_state, t_h, pos_s, pos_r, neg_r, w, rng)
 
     @jax.jit
     def train_epoch_scan(params, opt_state, t_h, pos_s_s, pos_r_s, neg_r_s,
-                         rng):
+                         w_s, rng):
         """All of an epoch's steps in one dispatch (lax.scan over [S, B]
         stacked batches) — per-step dispatch dwarfs the device step on a
         real TPU runtime, exactly as in trainer.make_train_multi_step."""
         def body(carry, inp):
             params, opt_state, rng = carry
             rng, sub = jax.random.split(rng)
-            pos_s, pos_r, neg_r = inp
+            pos_s, pos_r, neg_r, w = inp
             params, opt_state, loss, parts = _step_body(
-                params, opt_state, t_h, pos_s, pos_r, neg_r, sub
+                params, opt_state, t_h, pos_s, pos_r, neg_r, w, sub
             )
             return (params, opt_state, rng), (loss, parts)
 
         (params, opt_state, _), (losses, parts) = jax.lax.scan(
-            body, (params, opt_state, rng), (pos_s_s, pos_r_s, neg_r_s)
+            body, (params, opt_state, rng), (pos_s_s, pos_r_s, neg_r_s, w_s)
         )
         last_parts = jax.tree_util.tree_map(lambda a: a[-1], parts)
         return params, opt_state, losses.mean(), last_parts
@@ -247,19 +293,41 @@ def run_llp(cfg, log=None, fg=None):
 
     rng_np = np.random.default_rng(cfg.seed)
 
-    def evaluate(params, ids, neg_rng):
-        """AUC + Hits@K of held-out positives vs fresh uniform negatives."""
-        pos = []
+    def _scored_batches(params, ids):
+        outs = []
         for chunk, w in _batches(len(ids), cfg.batch_size, shuffle=False,
                                  rng=np.random.default_rng(0)):
             sel = ids[chunk]
             keep = int(w.sum())
             s = score_edges(params, jnp.asarray(src[sel]),
                             jnp.asarray(dst[sel]))
-            pos.append(np.asarray(s)[:keep])
+            outs.append(np.asarray(s)[:keep])
+        return outs
+
+    def evaluate_multiclass(params, ids):
+        """The reference's literal test() (LLP.py:250-286): the predictor's
+        (B, hidden) sigmoid output for each (source, true-recipient) pair is
+        scored as a multiclass prediction over the M recipients."""
+        from .metrics import classification_report
+
+        scores = np.concatenate(_scored_batches(params, ids))
+        labels = dst[ids]
+        report = classification_report(jnp.asarray(scores),
+                                       jnp.asarray(labels))
+        return {k: float(v) for k, v in report.items()}
+
+    def evaluate(params, ids, neg_rng):
+        """AUC + Hits@K of held-out positives vs fresh uniform negatives."""
+        if eval_mode == "multiclass":
+            return evaluate_multiclass(params, ids)
+        pos = _scored_batches(params, ids)
         pos = np.concatenate(pos) if pos else np.zeros(0, np.float32)
-        neg_src = neg_rng.integers(0, n, max(len(ids), 1)).astype(np.int32)
-        neg_dst = neg_rng.integers(0, n, max(len(ids), 1)).astype(np.int32)
+        # negatives corrupt the recipient side within the recipient id
+        # space [0, m) — the domain positives are drawn from — keeping the
+        # metric (and early-stopping model selection) in-distribution
+        n_neg = max(len(ids), 1)
+        neg_src = src[ids] if len(ids) else np.zeros(1, np.int32)
+        neg_dst = neg_rng.integers(0, m, n_neg).astype(np.int32)
         neg = np.asarray(
             score_edges(params, jnp.asarray(neg_src), jnp.asarray(neg_dst))
         )
@@ -281,15 +349,17 @@ def run_llp(cfg, log=None, fg=None):
             chunks.append(chunk)
             weights.append(w)
         ids_s = train_ids[np.stack(chunks)]              # [S, B]
+        w_s = np.stack(weights)                          # [S, B] pad mask
         s_steps, b = ids_s.shape
+        # negatives corrupt the recipient endpoint within [0, m)
         neg_s = sample_negatives(
-            rng_np, s_steps * b, n, cfg.ns_rate
+            rng_np, s_steps * b, m, cfg.ns_rate
         )[: s_steps * b].reshape(s_steps, b)
         key, sub = jax.random.split(key)
         params, opt_state, loss, parts = train_epoch_scan(
             params, opt_state, t_h_const,
             jnp.asarray(src[ids_s]), jnp.asarray(dst[ids_s]),
-            jnp.asarray(neg_s), sub,
+            jnp.asarray(neg_s), jnp.asarray(w_s), sub,
         )
         loss = float(loss)
         log({"event": "llp_train_epoch", "epoch": epoch,

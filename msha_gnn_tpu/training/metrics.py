@@ -94,9 +94,10 @@ def hits_at_k(pos_scores: Array, neg_scores: Array, k: int) -> Array:
     """OGB link-prediction Hits@K: fraction of positive edges scoring
     strictly above the k-th highest negative score (the metric surface
     declared at ``LLP.py:20``).  With fewer than k negatives every positive
-    above the weakest negative counts (OGB's evaluator returns 1.0 there;
-    the min-threshold is the natural small-sample limit)."""
-    kth = jax.lax.top_k(neg_scores, min(k, neg_scores.shape[0]))[0][-1]
+    trivially ranks in the top k — OGB's evaluator returns 1.0 there."""
+    if neg_scores.shape[0] < k:
+        return jnp.ones(())
+    kth = jax.lax.top_k(neg_scores, k)[0][-1]
     return jnp.mean((pos_scores > kth).astype(jnp.float32))
 
 

@@ -69,6 +69,14 @@ class LLPConfig:
     kd_rank: float = 0.0         # weight of the margin-rank KD term
                                  # (reference declares --margin, LLP.py:25,
                                  # but never implements the loss)
+    final_linear: bool = True    # False reproduces the shipped predictor
+                                 # (final linear commented out, LLP.py:111)
+    eval_mode: str = "link"      # link (OGB AUC/Hits@K vs sampled recipient
+                                 # negatives) | multiclass (the reference's
+                                 # literal test(): the predictor's (B, 32)
+                                 # output scored as recipient classes,
+                                 # LLP.py:250-286; needs final_linear=False
+                                 # and hidden_channels == n_dst)
     true_label: float = 10.0
     kd_f: float = 0.1
     kd_p: float = 100.0

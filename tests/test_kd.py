@@ -88,3 +88,23 @@ def test_llp_config_has_declared_surface():
         "ps_method", "batch_size", "use_valedges_as_input",
     }
     assert declared <= fields
+
+
+def test_llp_multiclass_parity_mode(rng):
+    """The reference's literal test() (LLP.py:250-286): shipped predictor
+    (final linear commented out), (B, hidden) output scored as recipient
+    classes.  Needs hidden == M and final_linear=False."""
+    fg, _, _ = make_tiny_flow(rng, n=50, m=5, records=300)
+    cfg = _tiny_cfg(eval_mode="multiclass", final_linear=False,
+                    metric="auc")
+    result = run_llp(cfg, fg=fg)
+    for k in ("auc", "accuracy", "precision_macro", "recall_macro"):
+        assert k in result and np.isfinite(result[k])
+    assert 0.0 <= result["accuracy"] <= 1.0
+
+    # guard rails: multiclass mode demands the shipped predictor shape
+    import pytest
+    with pytest.raises(ValueError):
+        run_llp(_tiny_cfg(eval_mode="multiclass"), fg=fg)
+    with pytest.raises(ValueError):
+        run_llp(_tiny_cfg(eval_mode="bogus"), fg=fg)
