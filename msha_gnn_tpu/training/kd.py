@@ -53,7 +53,11 @@ import numpy as np
 import optax
 
 from ..data import load_flow_graph, train_test_split_records
-from ..data.sampler import sample_negatives
+from ..data.sampler import (
+    sample_negatives,
+    sample_positives_nearby,
+    sample_positives_rw,
+)
 from ..models import GAT, LinkPredictor, MLP
 from ..models.common import features_with_gdp
 from .metrics import hits_at_k
@@ -191,7 +195,11 @@ def run_llp(cfg, log=None, fg=None):
             x = x.mean(axis=tuple(range(1, x.ndim)))
         return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
 
-    def _step_body(params, opt_state, t_h, pos_s, pos_r, neg_r, w, rng):
+    def _step_body(params, opt_state, t_h, pos_s, pos_r, neg_r, w, lbl, rng):
+        # ``w``: padding mask of the batch; ``lbl``: 1 for observed flow
+        # records, 0 for ps_method-sampled pairs, which carry only the KD
+        # terms (the LLP recipe distils on sampled pairs without claiming
+        # they are true edges).
         def loss_fn(params):
             r1, r2, r3 = jax.random.split(rng, 3)
             # The default student has no batch norm (norm_type='none',
@@ -214,9 +222,10 @@ def run_llp(cfg, log=None, fg=None):
                 {"params": params["predictor"]}, h_ps, h_nr,
                 train=True, rngs={"dropout": r3},
             )
+            w_lbl = w * lbl
             label_loss = 0.5 * (
-                _wmean(-jnp.log(pos_score), w)
-                + _wmean(-jnp.log(1.0 - neg_score), w)
+                _wmean(-jnp.log(pos_score), w_lbl)
+                + _wmean(-jnp.log(1.0 - neg_score), w_lbl)
             )
             t_pos = teacher_predictor.apply(
                 tp_vars, t_h[pos_s], t_h[pos_r], train=False
@@ -256,26 +265,28 @@ def run_llp(cfg, log=None, fg=None):
         return params, opt_state, loss, parts
 
     @jax.jit
-    def train_step(params, opt_state, t_h, pos_s, pos_r, neg_r, w, rng):
-        return _step_body(params, opt_state, t_h, pos_s, pos_r, neg_r, w, rng)
+    def train_step(params, opt_state, t_h, pos_s, pos_r, neg_r, w, lbl, rng):
+        return _step_body(params, opt_state, t_h, pos_s, pos_r, neg_r, w,
+                          lbl, rng)
 
     @jax.jit
     def train_epoch_scan(params, opt_state, t_h, pos_s_s, pos_r_s, neg_r_s,
-                         w_s, rng):
+                         w_s, lbl_s, rng):
         """All of an epoch's steps in one dispatch (lax.scan over [S, B]
         stacked batches) — per-step dispatch dwarfs the device step on a
         real TPU runtime, exactly as in trainer.make_train_multi_step."""
         def body(carry, inp):
             params, opt_state, rng = carry
             rng, sub = jax.random.split(rng)
-            pos_s, pos_r, neg_r, w = inp
+            pos_s, pos_r, neg_r, w, lbl = inp
             params, opt_state, loss, parts = _step_body(
-                params, opt_state, t_h, pos_s, pos_r, neg_r, w, sub
+                params, opt_state, t_h, pos_s, pos_r, neg_r, w, lbl, sub
             )
             return (params, opt_state, rng), (loss, parts)
 
         (params, opt_state, _), (losses, parts) = jax.lax.scan(
-            body, (params, opt_state, rng), (pos_s_s, pos_r_s, neg_r_s, w_s)
+            body, (params, opt_state, rng),
+            (pos_s_s, pos_r_s, neg_r_s, w_s, lbl_s),
         )
         last_parts = jax.tree_util.tree_map(lambda a: a[-1], parts)
         return params, opt_state, losses.mean(), last_parts
@@ -337,20 +348,49 @@ def run_llp(cfg, log=None, fg=None):
             "hits@50": float(hits_at_k(jnp.asarray(pos), jnp.asarray(neg), 50)),
         }
 
+    ps_samples = int(getattr(cfg, "ps_samples", 0))
+    rev_graph = fg.inter.transpose() if (
+        ps_samples > 0 and cfg.ps_method == "rw"
+    ) else None
+
     history = []
     best_metric, best_params, evals_since_best = -np.inf, None, 0
     stopped_epoch = None
     for epoch in range(cfg.epochs):
         t0 = time.time()
+        # the epoch's positive pairs: observed flow records, plus (when
+        # ps_samples > 0) ps_method-sampled KD-only pairs (LLP.py:26-29)
+        pos_s_ep = src[train_ids]
+        pos_r_ep = dst[train_ids]
+        lbl_ep = np.ones(len(train_ids), np.float32)
+        if ps_samples > 0:
+            anchors = rng_np.integers(0, n, ps_samples)
+            if cfg.ps_method == "nb":
+                a, p = sample_positives_nearby(
+                    rng_np, fg.inter, anchors, rw_step=cfg.rw_step
+                )
+            elif cfg.ps_method == "rw":
+                a, p, _ = sample_positives_rw(
+                    rng_np, fg.inter, rev_graph, anchors,
+                    hops=cfg.hops, rw_step=cfg.rw_step,
+                )
+            else:
+                raise ValueError(f"unknown ps_method {cfg.ps_method!r}")
+            pos_s_ep = np.concatenate([pos_s_ep, a])
+            pos_r_ep = np.concatenate([pos_r_ep, p])
+            lbl_ep = np.concatenate([lbl_ep, np.zeros(len(a), np.float32)])
         # stack the whole epoch's batches ([S, B]) for one scanned dispatch
-        chunks, weights = [], []
-        for chunk, w in _batches(len(train_ids), cfg.batch_size, shuffle=True,
-                                 rng=rng_np):
-            chunks.append(chunk)
-            weights.append(w)
-        ids_s = train_ids[np.stack(chunks)]              # [S, B]
-        w_s = np.stack(weights)                          # [S, B] pad mask
-        s_steps, b = ids_s.shape
+        perm = rng_np.permutation(len(pos_s_ep))
+        b = cfg.batch_size
+        s_steps = -(-len(perm) // b)
+        pad = s_steps * b - len(perm)
+        sel = np.concatenate([perm, np.zeros(pad, perm.dtype)])
+        w_s = np.concatenate(
+            [np.ones(len(perm), np.float32), np.zeros(pad, np.float32)]
+        ).reshape(s_steps, b)
+        ps_s = pos_s_ep[sel].reshape(s_steps, b)
+        pr_s = pos_r_ep[sel].reshape(s_steps, b)
+        lbl_s = lbl_ep[sel].reshape(s_steps, b)
         # negatives corrupt the recipient endpoint within [0, m)
         neg_s = sample_negatives(
             rng_np, s_steps * b, m, cfg.ns_rate
@@ -358,8 +398,8 @@ def run_llp(cfg, log=None, fg=None):
         key, sub = jax.random.split(key)
         params, opt_state, loss, parts = train_epoch_scan(
             params, opt_state, t_h_const,
-            jnp.asarray(src[ids_s]), jnp.asarray(dst[ids_s]),
-            jnp.asarray(neg_s), jnp.asarray(w_s), sub,
+            jnp.asarray(ps_s), jnp.asarray(pr_s),
+            jnp.asarray(neg_s), jnp.asarray(w_s), jnp.asarray(lbl_s), sub,
         )
         loss = float(loss)
         log({"event": "llp_train_epoch", "epoch": epoch,

@@ -85,6 +85,10 @@ class LLPConfig:
     ns_rate: int = 1             # negatives per positive
     hops: int = 2                # random-walk length
     ps_method: str = "nb"        # positive sampling: rw | nb
+    ps_samples: int = 0          # anchors per epoch for sampled KD-only
+                                 # positive pairs (LLP.py declares the
+                                 # rw/nb samplers but no count; 0 = off,
+                                 # i.e. train on observed records only)
     batch_size: int = 4096
     seed: int = 42
     teacher_heads: int = 2

@@ -5,6 +5,8 @@ end-to-end smoke plus the declared-but-unimplemented eval surface
 
 import dataclasses
 
+import pytest
+
 import numpy as np
 
 from msha_gnn_tpu.training.kd import run_llp
@@ -108,3 +110,15 @@ def test_llp_multiclass_parity_mode(rng):
         run_llp(_tiny_cfg(eval_mode="multiclass"), fg=fg)
     with pytest.raises(ValueError):
         run_llp(_tiny_cfg(eval_mode="bogus"), fg=fg)
+
+
+@pytest.mark.parametrize("method", ["nb", "rw"])
+def test_llp_sampled_positives(rng, method):
+    """ps_method sampled KD-only positive pairs (LLP.py:26-29 declared
+    surface): the pipeline runs with them mixed into the epoch and they
+    carry no true-label loss (lbl weight 0)."""
+    fg, _, _ = make_tiny_flow(rng, n=50, m=5, records=300)
+    cfg = _tiny_cfg(ps_samples=40, ps_method=method, rw_step=2, hops=2)
+    result = run_llp(cfg, fg=fg)
+    assert np.isfinite(result["final_train_loss"])
+    assert 0.0 <= result["auc"] <= 1.0
