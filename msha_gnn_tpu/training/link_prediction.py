@@ -3,10 +3,12 @@ with neighbor-sampled minibatches and OGB-style Hits@K evaluation
 (BASELINE config #4; the capability surface ``LLP.py`` declares).
 
 The encoder runs on the CSR edge list through the Pallas SpMM operator on
-TPU (XLA path elsewhere); positives come from the train edge split
-(optionally re-sampled per epoch with the 'nb'/'rw' samplers); negatives
-are uniform pairs at ``ns_rate`` per positive.  Optional KD distils the GAT
-teacher into a structure-free MLP student (the LLP recipe) at this scale.
+TPU (XLA path elsewhere); positives come from the train edge split, with
+``neighbor_fanout`` selecting GraphSAGE-style per-epoch subgraph sampling
+of the message graph; negatives are uniform pairs at ``ns_rate`` per
+positive.  Optional KD distils the GAT teacher into a structure-free MLP
+student at this scale.  (The 'nb'/'rw' *positive-pair* samplers of the LLP
+recipe are wired in :mod:`~msha_gnn_tpu.training.kd` via ``--ps_samples``.)
 """
 
 from __future__ import annotations
@@ -105,8 +107,7 @@ def run_link_prediction(split, cfg: LinkPredConfig, log=None):
         # re-use one compilation.  The Pallas path needs concrete edge
         # arrays at trace time (host-side aligned layout), so it closes
         # over the full graph and ignores the argument.
-        @jax.jit
-        def step(params, opt_state, g, pos_s, pos_r, neg_s, neg_r, rng):
+        def step_body(params, opt_state, g, pos_s, pos_r, neg_s, neg_r, rng):
             if g_impl == "pallas":
                 g = g_closure
             def loss_fn(params):
@@ -143,7 +144,27 @@ def run_link_prediction(split, cfg: LinkPredConfig, log=None):
             updates, new_opt = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_opt, loss, parts
 
-        return step
+        # one dispatch per EPOCH: lax.scan over the epoch's stacked [S, B]
+        # batches (per-batch dispatch over a tunnelled TPU costs more than
+        # the device step at B=4096; same pattern as trainer/kd)
+        @jax.jit
+        def epoch_scan(params, opt_state, g, ps_s, pr_s, ns_s, nr_s, rng):
+            def body(carry, inp):
+                params, opt_state, rng = carry
+                rng, sub = jax.random.split(rng)
+                ps, pr, ns, nr = inp
+                params, opt_state, loss, parts = step_body(
+                    params, opt_state, g, ps, pr, ns, nr, sub
+                )
+                return (params, opt_state, rng), (loss, parts)
+
+            (params, opt_state, _), (losses, parts) = jax.lax.scan(
+                body, (params, opt_state, rng), (ps_s, pr_s, ns_s, nr_s)
+            )
+            last_parts = jax.tree_util.tree_map(lambda a: a[-1], parts)
+            return params, opt_state, losses.mean(), last_parts
+
+        return epoch_scan
 
     @jax.jit
     def score(params, src_idx, dst_idx):
@@ -156,7 +177,7 @@ def run_link_prediction(split, cfg: LinkPredConfig, log=None):
     # Neighbor-sampled subgraphs change every epoch, so they use the XLA
     # edge path (the Pallas operator's chunk-aligned layout is per-graph
     # host preprocessing); the full-graph mode uses the configured impl.
-    step = make_step(graph, impl if cfg.neighbor_fanout == 0 else "xla")
+    epoch_scan = make_step(graph, impl if cfg.neighbor_fanout == 0 else "xla")
 
     history = []
     for epoch in range(cfg.epochs):
@@ -169,21 +190,22 @@ def run_link_prediction(split, cfg: LinkPredConfig, log=None):
             )
             g_ep = dataclasses.replace(g_ep, num_edges=graph.num_edges)
         perm = rng_np.permutation(len(train_s))
-        total, count = 0.0, 0
-        for i in range(0, len(perm) - cfg.batch_size + 1, cfg.batch_size):
-            ids = perm[i : i + cfg.batch_size]
-            b = len(ids)
-            key, sub = jax.random.split(key)
-            params, opt_state, loss, parts = step(
-                params, opt_state, g_ep,
-                jnp.asarray(train_s[ids]), jnp.asarray(train_r[ids]),
-                jnp.asarray(rng_np.integers(0, n, b)),
-                jnp.asarray(rng_np.integers(0, n, b)),
-                sub,
+        b = cfg.batch_size
+        steps = len(perm) // b  # drop-remainder, as before
+        if steps == 0:
+            raise ValueError(
+                f"batch_size {b} exceeds the {len(perm)} train edges"
             )
-            total += float(loss)
-            count += 1
-        history.append(total / max(count, 1))
+        ids_s = perm[: steps * b].reshape(steps, b)
+        neg_s = rng_np.integers(0, n, (steps, b))
+        neg_r = rng_np.integers(0, n, (steps, b))
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, parts = epoch_scan(
+            params, opt_state, g_ep,
+            jnp.asarray(train_s[ids_s]), jnp.asarray(train_r[ids_s]),
+            jnp.asarray(neg_s), jnp.asarray(neg_r), sub,
+        )
+        history.append(float(loss))
         log({"event": "linkpred_epoch", "epoch": epoch,
              "loss": history[-1], "seconds": time.time() - t0,
              **{k: float(v) for k, v in parts.items()}})

@@ -150,23 +150,27 @@ def gcn_task(
     lr: float = 1e-3,
     weight_decay: float = 5e-4,
     seed: int = 42,
+    impl: str = "auto",
 ):
     """GCN preset (``train.py:200``): nhid = n_classes so the round-trip
-    output scores the M recipients."""
+    output scores the M recipients.  ``impl='auto'`` picks the Pallas SpMM
+    on TPU (static graph weights -> the operator's no-dw fast path)."""
     g_norm, _ = flow_inputs(fg)
+    if impl == "auto":
+        impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     model = GCN(nfeat=nfeat, nhid=fg.n_dst, nclass=fg.n_dst, dropout=dropout,
                 gdp=fg.gdp)
 
     def forward(variables, batch_idx, *, train, rngs):
         logp = model.apply(variables, g_norm, train=train, rngs=rngs,
-                           rows=batch_idx)
+                           rows=batch_idx, impl=impl)
         return logp, {}
 
     variables = model.init(jax.random.key(seed), g_norm, train=False)
 
     @jax.jit
     def full_scores(variables):
-        return model.apply(variables, g_norm, train=False)
+        return model.apply(variables, g_norm, train=False, impl=impl)
 
     return (
         Task(forward=forward, tx=adam_l2(lr, weight_decay),
