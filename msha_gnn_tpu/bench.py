@@ -73,12 +73,13 @@ def dense_reference_msha_forward(params, s_feat, r_feat, inter_adj,
         return jnp.where(jax.random.bernoulli(key, keep, x.shape),
                          x / keep, 0.0)
 
-    keys = iter(jax.random.split(rng, 32))
-    s_feat = drop(s_feat, next(keys))
-    r_feat = drop(r_feat, next(keys))
     outs = []
     n, m = inter_adj.shape
     heads = sorted(k for k in params if k.startswith("attention_"))
+    # 2 feature drops + 3 per head + 1 concat + 1 out-layer
+    keys = iter(jax.random.split(rng, 4 + 3 * len(heads)))
+    s_feat = drop(s_feat, next(keys))
+    r_feat = drop(r_feat, next(keys))
     for head in heads:
         p = params[head]
         h1 = r_feat @ p["W1"]

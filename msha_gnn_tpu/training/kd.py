@@ -140,12 +140,31 @@ def run_llp(cfg, log=None, fg=None):
                 "(B, hidden) output as recipient classes — set "
                 "final_linear=False (the shipped predictor, LLP.py:111)."
             )
+        if cfg.predictor != "mlp":
+            raise ValueError(
+                "eval_mode='multiclass' needs the 'mlp' predictor's "
+                "(B, hidden) output; 'inner' emits scalars."
+            )
         if d != m:
             raise ValueError(
                 f"eval_mode='multiclass' needs hidden_channels == n_dst "
                 f"({m}); got {d}."
             )
-    elif eval_mode != "link":
+        if cfg.metric.startswith("hits"):
+            raise ValueError(
+                "eval_mode='multiclass' reports classification metrics "
+                "(auc, accuracy, f1_macro, ...) — Hits@K is undefined "
+                f"there; set --metric accordingly (got {cfg.metric!r})."
+            )
+    elif eval_mode == "link":
+        if not final_linear:
+            raise ValueError(
+                "final_linear=False makes the predictor emit (B, hidden) "
+                "matrices, which the link-mode AUC/Hits@K cannot score — "
+                "pair it with eval_mode='multiclass' (the reference's "
+                "literal test()) or keep the repaired scalar predictor."
+            )
+    else:
         raise ValueError(f"unknown eval_mode {eval_mode!r}")
 
     student = MLP(num_layers=cfg.num_layers, hidden_dim=d, output_dim=d,
@@ -223,9 +242,15 @@ def run_llp(cfg, log=None, fg=None):
                 train=True, rngs={"dropout": r3},
             )
             w_lbl = w * lbl
+            # clip as losses.bce_loss does: saturated sigmoids (exact 0/1
+            # in f32) otherwise give -log(0) = inf, and inf * 0 = NaN means
+            # even masked rows would poison the loss
+            eps_s = 1e-7
+            pos_c = jnp.clip(pos_score, eps_s, 1.0 - eps_s)
+            neg_c = jnp.clip(neg_score, eps_s, 1.0 - eps_s)
             label_loss = 0.5 * (
-                _wmean(-jnp.log(pos_score), w_lbl)
-                + _wmean(-jnp.log(1.0 - neg_score), w_lbl)
+                _wmean(-jnp.log(pos_c), w_lbl)
+                + _wmean(-jnp.log(1.0 - neg_c), w_lbl)
             )
             t_pos = teacher_predictor.apply(
                 tp_vars, t_h[pos_s], t_h[pos_r], train=False
@@ -359,10 +384,15 @@ def run_llp(cfg, log=None, fg=None):
     for epoch in range(cfg.epochs):
         t0 = time.time()
         # the epoch's positive pairs: observed flow records, plus (when
-        # ps_samples > 0) ps_method-sampled KD-only pairs (LLP.py:26-29)
+        # ps_samples > 0) ps_method-sampled KD-only pairs (LLP.py:26-29).
+        # The sampled block is padded to a FIXED ps_samples * rw_step slots
+        # (samplers drop dead anchors/walks, so the raw count varies per
+        # epoch — variable [S, B] shapes would retrace the scanned epoch
+        # program every epoch); padded slots carry weight 0.
         pos_s_ep = src[train_ids]
         pos_r_ep = dst[train_ids]
         lbl_ep = np.ones(len(train_ids), np.float32)
+        w_ep = np.ones(len(train_ids), np.float32)
         if ps_samples > 0:
             anchors = rng_np.integers(0, n, ps_samples)
             if cfg.ps_method == "nb":
@@ -370,15 +400,32 @@ def run_llp(cfg, log=None, fg=None):
                     rng_np, fg.inter, anchors, rw_step=cfg.rw_step
                 )
             elif cfg.ps_method == "rw":
-                a, p, _ = sample_positives_rw(
+                # land on the RECIPIENT side: forward/reverse steps
+                # alternate, so an even hop count would end on the source
+                # side and the endpoints would not be recipient ids
+                eff_hops = cfg.hops if cfg.hops % 2 == 1 else cfg.hops + 1
+                a, p, on_src = sample_positives_rw(
                     rng_np, fg.inter, rev_graph, anchors,
-                    hops=cfg.hops, rw_step=cfg.rw_step,
+                    hops=eff_hops, rw_step=cfg.rw_step,
                 )
+                assert not on_src
             else:
                 raise ValueError(f"unknown ps_method {cfg.ps_method!r}")
-            pos_s_ep = np.concatenate([pos_s_ep, a])
-            pos_r_ep = np.concatenate([pos_r_ep, p])
-            lbl_ep = np.concatenate([lbl_ep, np.zeros(len(a), np.float32)])
+            cap = ps_samples * cfg.rw_step
+            a = a[:cap]
+            p = p[:cap]
+            pad_k = cap - len(a)
+            pos_s_ep = np.concatenate(
+                [pos_s_ep, a, np.zeros(pad_k, np.int32)]
+            )
+            pos_r_ep = np.concatenate(
+                [pos_r_ep, p, np.zeros(pad_k, np.int32)]
+            )
+            lbl_ep = np.concatenate([lbl_ep, np.zeros(cap, np.float32)])
+            w_ep = np.concatenate(
+                [w_ep, np.ones(len(a), np.float32),
+                 np.zeros(pad_k, np.float32)]
+            )
         # stack the whole epoch's batches ([S, B]) for one scanned dispatch
         perm = rng_np.permutation(len(pos_s_ep))
         b = cfg.batch_size
@@ -386,7 +433,7 @@ def run_llp(cfg, log=None, fg=None):
         pad = s_steps * b - len(perm)
         sel = np.concatenate([perm, np.zeros(pad, perm.dtype)])
         w_s = np.concatenate(
-            [np.ones(len(perm), np.float32), np.zeros(pad, np.float32)]
+            [w_ep[perm], np.zeros(pad, np.float32)]
         ).reshape(s_steps, b)
         ps_s = pos_s_ep[sel].reshape(s_steps, b)
         pr_s = pos_r_ep[sel].reshape(s_steps, b)
