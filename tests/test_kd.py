@@ -122,3 +122,21 @@ def test_llp_sampled_positives(rng, method):
     result = run_llp(cfg, fg=fg)
     assert np.isfinite(result["final_train_loss"])
     assert 0.0 <= result["auc"] <= 1.0
+
+
+def test_llp_eval_mode_guards(rng):
+    """Invalid mode/predictor/metric combinations fail fast with clear
+    errors instead of crashing after training."""
+    fg, _, _ = make_tiny_flow(rng, n=50, m=5, records=300)
+    bad_cfgs = [
+        dict(final_linear=False),                      # link + matrix scores
+        dict(eval_mode="multiclass"),                  # needs final_linear=False
+        dict(eval_mode="multiclass", final_linear=False,
+             predictor="inner"),                       # needs mlp predictor
+        dict(eval_mode="multiclass", final_linear=False,
+             metric="hits@20"),                        # hits undefined there
+        dict(eval_mode="bogus"),
+    ]
+    for kw in bad_cfgs:
+        with pytest.raises(ValueError):
+            run_llp(_tiny_cfg(**kw), fg=fg)
