@@ -97,8 +97,11 @@ def test_msha_layer_parity(rng, use_intra, joint):
         dict(use_intra=True, joint_softmax=True, use_out_att=False, n_heads=1),  # ablation1
         dict(use_intra=True, joint_softmax=False, use_out_att=True, n_heads=2),  # ablation2
         dict(use_intra=False, joint_softmax=True, use_out_att=True, n_heads=2),  # ablation3
+        # 3 heads: guards the head-vectorised block-diagonal contractions
+        # beyond the reference's H=2
+        dict(use_intra=True, joint_softmax=True, use_out_att=True, n_heads=3),
     ],
-    ids=["ours", "ablation1", "ablation2", "ablation3"],
+    ids=["ours", "ablation1", "ablation2", "ablation3", "heads3"],
 )
 def test_msha_model_parity(rng, kwargs):
     graph, dense, mask, city, prov, s, r, batch = _setup_flow_problem(rng)
