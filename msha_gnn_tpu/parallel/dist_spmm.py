@@ -68,6 +68,15 @@ class DistributedSpmm:
         self.receivers = jax.device_put(jnp.asarray(receivers), shard)
         self.weights = jax.device_put(jnp.asarray(weights), shard)
         self.k = k
+        # CSR <-> partition mapping for runtime edge weights: shards cover
+        # contiguous sender ranges and from_coo's lexsort is stable, so
+        # shard i's real edges are exactly the parent's CSR slice
+        # [lo_i, lo_i + cnt_i) in order — the reorder is k static slices.
+        ptr = np.asarray(graph.row_ptr, np.int64)
+        bounds = np.linspace(0, graph.n_src, k + 1).astype(np.int64)
+        self._lo = [int(ptr[b]) for b in bounds[:-1]]
+        self._cnt = [int(p.num_edges) for p in parts]
+        self._e_max = int(self.senders.shape[1])
 
         n_src, n_dst = graph.n_src, graph.n_dst
         spec_x = P("data", None)
@@ -123,14 +132,29 @@ class DistributedSpmm:
 
         self._t = _t
 
-    def __call__(self, x, *, transpose: bool = False):
+    def partition_weights(self, w_csr):
+        """Reorder per-edge scalars from the graph's CSR order into the
+        [k, E_max] partition layout (k static slices + pads — no gather)."""
+        rows = [
+            jnp.pad(w_csr[lo:lo + cnt].astype(jnp.float32),
+                    (0, self._e_max - cnt))
+            for lo, cnt in zip(self._lo, self._cnt)
+        ]
+        return jnp.stack(rows)
+
+    def __call__(self, x, *, edge_weight=None, transpose: bool = False):
+        """A @ x (A.T @ x when transposed).  ``edge_weight`` overrides the
+        stored weights with runtime values (e.g. attention coefficients) in
+        the graph's CSR edge order — same contract as ``ops.spmm``."""
+        w = (self.weights if edge_weight is None
+             else self.partition_weights(edge_weight))
         if transpose:
-            return self._t(self.senders, self.receivers, self.weights, x)
+            return self._t(self.senders, self.receivers, w, x)
         pad = (-x.shape[0]) % self.k
         x_p = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
         shard = NamedSharding(self.mesh, P("data", None))
         x_p = jax.device_put(x_p, shard)
-        return self._fwd(self.senders, self.receivers, self.weights, x_p)
+        return self._fwd(self.senders, self.receivers, w, x_p)
 
 
 class RingSpmm:
