@@ -141,3 +141,66 @@ def test_distributed_spmm_runtime_weights(rng):
     e = g.num_edges  # pad-edge weight grads are zero on both paths
     np.testing.assert_allclose(np.asarray(gw_d)[:e], np.asarray(gw_s)[:e],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_edge_partitioned_attention_training_matches_single(rng):
+    """Full training loop through the explicit path: a GAT-style attention
+    layer (rank-1 logits -> edge softmax -> weighted aggregation) trained
+    with the edge-partitioned SpMM takes the same optimiser trajectory as
+    the single-device path (SURVEY §5.8 boundary exchange, in training)."""
+    import optax
+
+    from msha_gnn_tpu.ops import edge_softmax
+
+    g, dense = make_random_bipartite(rng, 64, 48, density=0.2)
+    mesh = make_mesh(8, data_axis=8)
+    op = DistributedSpmm(g, mesh)
+    x_dst = jnp.asarray(rng.standard_normal((48, 8)).astype(np.float32))
+    target = jnp.asarray(rng.standard_normal((64, 4)).astype(np.float32))
+    w0 = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32) * 0.1)
+    a0 = jnp.asarray(rng.standard_normal((8,)).astype(np.float32) * 0.1)
+    senders = g.senders
+
+    def forward(params, aggregate):
+        h = x_dst @ params["W"]                      # [48, 4]
+        logits = (x_dst @ params["a"])[g.receivers]  # per-edge rank-1
+        logits = jnp.where(senders < g.n_src, logits, -1e9)
+        att = edge_softmax(g, logits)                # CSR-order weights
+        return aggregate(h, att)
+
+    def make_train(aggregate):
+        tx = optax.adam(1e-2)
+
+        def loss_fn(params):
+            out = forward(params, aggregate)
+            return jnp.mean((out - target) ** 2)
+
+        @jax.jit  # one program: uniform placement for grads/opt updates
+        def step(params, opt):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, upd), opt, loss
+
+        def run(steps=3):
+            params = {"W": w0, "a": a0}
+            opt = tx.init(params)
+            losses = []
+            for _ in range(steps):
+                params, opt, loss = step(params, opt)
+                losses.append(float(loss))
+            return params, losses
+
+        return run
+
+    p_dist, l_dist = make_train(
+        lambda h, att: op(h, edge_weight=att)
+    )()
+    p_single, l_single = make_train(
+        lambda h, att: spmm(g, h, edge_weight=att)
+    )()
+    np.testing.assert_allclose(l_dist, l_single, rtol=1e-5)
+    for k in p_dist:
+        np.testing.assert_allclose(np.asarray(p_dist[k]),
+                                   np.asarray(p_single[k]),
+                                   rtol=1e-4, atol=1e-6)
+    assert l_dist[-1] < l_dist[0]  # it actually learns
