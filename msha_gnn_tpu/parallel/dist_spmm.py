@@ -177,7 +177,8 @@ class RingSpmm:
     is a plain concatenation — no reduction collective at all).
     """
 
-    def __init__(self, graph: BipartiteGraph, mesh: Mesh):
+    def __init__(self, graph: BipartiteGraph, mesh: Mesh, *,
+                 runtime_weights: bool = False):
         self.graph = graph
         self.mesh = mesh
         k = mesh.shape["data"]
@@ -191,6 +192,40 @@ class RingSpmm:
         s = np.asarray(graph.senders)[:e]
         r = np.asarray(graph.receivers)[:e]
         w = np.asarray(graph.weight)[:e]
+        self._inv = None
+        if runtime_weights:
+            # Bucket placement with an explicit slot -> CSR-edge map so
+            # per-step weights (attention coefficients, CSR order) can be
+            # re-laid-out at runtime: a sharded gather of E scalars —
+            # each device reorders only its own buckets.
+            dev = np.minimum(s // row_blk, k - 1).astype(np.int64)
+            shard = np.minimum(r // dst_blk, k - 1).astype(np.int64)
+            flat = dev * k + shard
+            order = np.argsort(flat, kind="stable")
+            sorted_flat = flat[order]
+            start = np.searchsorted(sorted_flat, np.arange(k * k))
+            pos = np.arange(e, dtype=np.int64) - start[sorted_flat]
+            counts = np.bincount(flat, minlength=k * k)
+            e_b = max(int(counts.max()), 8)
+            s_b = np.full((k, k, e_b), row_blk, np.int32)
+            rl_b = np.zeros((k, k, e_b), np.int32)
+            w_b = np.zeros((k, k, e_b), np.float32)
+            inv = np.full((k, k, e_b), e, np.int64)  # pad slots -> e
+            de, sh = dev[order], shard[order]
+            s_b[de, sh, pos] = (s[order] - de * row_blk).astype(np.int32)
+            rl_b[de, sh, pos] = (r[order] - sh * dst_blk).astype(np.int32)
+            w_b[de, sh, pos] = w[order]
+            inv[de, sh, pos] = order
+            shard_nd = NamedSharding(mesh, P("data", None, None))
+            self._s_b = jax.device_put(jnp.asarray(s_b), shard_nd)
+            self._rl_b = jax.device_put(jnp.asarray(rl_b), shard_nd)
+            self._w_b = jax.device_put(jnp.asarray(w_b), shard_nd)
+            self._inv = jax.device_put(
+                jnp.asarray(inv.astype(np.int32)), shard_nd
+            )
+            self._e = e
+            self._build_fwd()
+            return
         try:
             # native linear-time bucketer (two counting passes, no sort —
             # the numpy lexsort below is the setup bottleneck at 100M edges)
@@ -227,7 +262,10 @@ class RingSpmm:
         self._s_b = jax.device_put(jnp.asarray(s_b), shard_nd)
         self._rl_b = jax.device_put(jnp.asarray(rl_b), shard_nd)
         self._w_b = jax.device_put(jnp.asarray(w_b), shard_nd)
+        self._build_fwd()
 
+    def _build_fwd(self):
+        k, mesh, row_blk = self.k, self.mesh, self.row_blk
         perm = [(p, (p - 1) % k) for p in range(k)]
 
         @partial(
@@ -265,11 +303,26 @@ class RingSpmm:
 
         self._ring_fwd = _fwd
 
-    def __call__(self, x):
+    def partition_weights(self, w_csr):
+        """Reorder CSR-order per-edge scalars into the (k, k, E_b) bucket
+        layout via the precomputed slot map (sharded gather: each device
+        reorders its own buckets).  Needs ``runtime_weights=True``."""
+        if self._inv is None:
+            raise ValueError(
+                "RingSpmm was built without runtime_weights=True"
+            )
+        w_ext = jnp.concatenate(
+            [w_csr[: self._e].astype(jnp.float32), jnp.zeros(1, jnp.float32)]
+        )
+        return w_ext[jnp.minimum(self._inv, self._e)]
+
+    def __call__(self, x, *, edge_weight=None):
+        w_b = (self._w_b if edge_weight is None
+               else self.partition_weights(edge_weight))
         pad = self.k * self.dst_blk - x.shape[0]
         x_p = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
         x_p = jax.device_put(
             x_p, NamedSharding(self.mesh, P("data", None))
         )
-        out = self._ring_fwd(self._s_b, self._rl_b, self._w_b, x_p)
+        out = self._ring_fwd(self._s_b, self._rl_b, w_b, x_p)
         return out[: self.graph.n_src]
