@@ -236,3 +236,42 @@ def test_from_coo_assume_sorted_matches(rng):
                                   np.asarray(g2.row_ptr))
     np.testing.assert_allclose(np.asarray(g1.to_dense()),
                                np.asarray(g2.to_dense()), rtol=1e-6)
+
+
+@pytest.mark.parametrize("d", [1, 32, 200, 256])
+def test_spmm_operator_feature_widths(rng, d):
+    """Lane padding across feature widths: below one lane (d=1), exactly a
+    multiple (256), and a non-multiple (200)."""
+    g, dense = make_random_bipartite(rng, 90, 40, density=0.15)
+    op = SpmmOperator.build(g, interpret=True)
+    x = rng.standard_normal((40, d)).astype(np.float32)
+    got = np.asarray(op(jnp.asarray(x)))
+    np.testing.assert_allclose(got, dense @ x, rtol=1e-3, atol=1e-3)
+
+
+def test_spmm_operator_extreme_degree_skew(rng):
+    """One destination owns ~90% of edges (degree-skew hard part,
+    SURVEY §7d): chunk-visit schedule must stay correct when one row block
+    spans most chunks."""
+    n_src, n_dst, e = 300, 50, 4000
+    src = rng.integers(0, n_src, e)
+    dst = np.where(rng.random(e) < 0.9, 0, rng.integers(0, n_dst, e))
+    from msha_gnn_tpu.graph import BipartiteGraph
+
+    g = BipartiteGraph.from_coo(
+        src, dst, np.ones(e, np.float32), n_src=n_src, n_dst=n_dst,
+        combine_duplicates=False,
+    )
+    dense = np.zeros((n_src, n_dst), np.float32)
+    np.add.at(dense, (src, dst), 1.0)
+    op = SpmmOperator.build(g, interpret=True)
+    x = rng.standard_normal((n_dst, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op(jnp.asarray(x))), dense @ x, rtol=1e-3, atol=1e-3
+    )
+    # transpose concentrates 90% of the reduction into one output row
+    xt = rng.standard_normal((n_src, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op(jnp.asarray(xt), transpose=True)), dense.T @ xt,
+        rtol=1e-3, atol=1e-2,
+    )
