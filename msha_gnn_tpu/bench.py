@@ -437,6 +437,43 @@ def bench_flagship_size_sweep(
     return out
 
 
+def bench_serving(
+    batch_size: int = 1024,
+    top_k: int = 3,
+    iters: int = 30,
+    year: str = "2015",
+):
+    """Predictions/s of the serving Predictor on the real flow graph, both
+    paths: full-scores cache (batch-independent models) and per-batch
+    recompute (intra-bearing models)."""
+    from .data import load_flow_graph
+    from .serving import Predictor
+    from .training import TrainState, msha_task
+
+    fg = load_flow_graph(year)
+    rng = np.random.default_rng(0)
+    nodes = rng.integers(0, fg.n_src, batch_size).astype(np.int32)
+    out = {}
+    for name, kw in (("full_scores_cache", dict(use_intra=False)),
+                     ("per_batch", dict(use_intra=True))):
+        task, variables, _ = msha_task(
+            fg, in_features=128, out_features=64, **kw
+        )
+        state = TrainState.create(variables, task.tx)
+        pred = Predictor.from_state(task, state, batch_size=batch_size)
+        pred.top_k(nodes, top_k)  # compile + cache
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = pred.top_k(nodes, top_k)
+        dt = (time.perf_counter() - t0) / iters
+        del res
+        out[name] = {
+            "batch_seconds": dt,
+            "predictions_per_s": batch_size / dt,
+        }
+    return out
+
+
 def bench_scaling(
     n: int = 8192,
     records: int = 65536,
