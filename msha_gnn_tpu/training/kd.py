@@ -312,6 +312,7 @@ def run_llp(cfg, log=None, fg=None):
         (params, opt_state, _), (losses, parts) = jax.lax.scan(
             body, (params, opt_state, rng),
             (pos_s_s, pos_r_s, neg_r_s, w_s, lbl_s),
+            unroll=2,
         )
         last_parts = jax.tree_util.tree_map(lambda a: a[-1], parts)
         return params, opt_state, losses.mean(), last_parts

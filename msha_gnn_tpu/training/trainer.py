@@ -128,8 +128,12 @@ def make_train_multi_step(task: Task):
             state, loss = _train_step_body(task, state, b, l, w, sub)
             return (state, rng), loss
 
+        # unroll=2: two optimiser steps per while-loop iteration lets XLA
+        # overlap across the step boundary (measured 0.74 -> 0.68 ms/step
+        # on v5e; unroll=4 adds nothing)
         (state, _), losses = jax.lax.scan(
-            body, (state, rng), (batch_idx_s, labels_s, weights_s)
+            body, (state, rng), (batch_idx_s, labels_s, weights_s),
+            unroll=2,
         )
         return state, jnp.mean(losses)
 
