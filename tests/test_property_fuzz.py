@@ -20,8 +20,12 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from msha_gnn_tpu.graph import BipartiteGraph
+from msha_gnn_tpu.graph import BipartiteGraph, Grouping
+from msha_gnn_tpu.models.msha import MSHA
 from msha_gnn_tpu.ops import edge_softmax, sddmm_dot, spmm
+
+from tests import oracles
+from tests.conftest import make_random_bipartite
 
 
 def _rel_to_scale(got, want):
@@ -159,3 +163,62 @@ def test_pallas_operators_fuzz_vs_dense_oracle(trial):
     )
     assert _rel_to_scale(np.asarray(gl_f)[valid], np.asarray(gl_r)[valid]) < 1e-4
     assert _rel_to_scale(gx_f, gx_r) < 1e-4
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_msha_model_fuzz_parity(trial):
+    """Full MSHA model vs the dense numpy oracle on random problems.
+
+    Sweeps what the fixed-config parity tests hold constant: graph shape,
+    grouping cardinalities (down to a single all-nodes clique), head count,
+    every ablation-flag combination, and — crucially — minibatches drawn
+    *with replacement*: the reference minibatches flow records
+    (dataset.py:241-244), so the same source node legitimately appears
+    multiple times in one batch, and the factored intra channels must
+    reproduce the dense oracle's per-duplicate-row behaviour.
+    """
+    rng = np.random.default_rng(5000 + trial)
+    n = int(rng.integers(5, 60))
+    m = int(rng.integers(2, 12))
+    d_in = int(rng.choice([3, 8, 16]))
+    d_out = int(rng.choice([2, 5, 8]))
+    n_city = int(rng.integers(1, max(2, n // 2)))
+    n_prov = int(rng.integers(1, 4))
+    heads = int(rng.choice([1, 2, 3]))
+    use_intra = bool(rng.integers(2))
+    joint = bool(rng.integers(2))
+    out_att = bool(rng.integers(2))
+    b = int(rng.integers(1, 12))
+
+    graph, dense = make_random_bipartite(
+        rng, n, m, density=float(rng.uniform(0.1, 0.6))
+    )
+    mask = dense > 0
+    city = Grouping.from_ids(rng.integers(0, n_city, n))
+    prov = Grouping.from_ids(rng.integers(0, n_prov, n))
+    batch = rng.choice(n, b, replace=True).astype(np.int32)
+    gdp = rng.random(n).astype(np.float32)
+
+    model = MSHA(in_features=d_in, out_features=d_out, n_classes=m,
+                 dropout=0.5, gdp=jnp.asarray(gdp), n_heads=heads,
+                 use_intra=use_intra, joint_softmax=joint,
+                 use_out_att=out_att)
+    args = (jnp.asarray(mask), city, prov, jnp.asarray(batch))
+    variables = model.init(jax.random.key(trial), *args, train=False)
+    got = np.asarray(model.apply(variables, *args, train=False))
+
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    p_oracle = {k: v for k, v in p.items() if k != "attention"}
+    for i in range(heads):
+        p_oracle[f"attention_{i}"] = {
+            k: v[i] for k, v in p["attention"].items()
+            if k in ("W1", "W2", "a", "a3", "a4")
+        }
+    want = oracles.msha_model(
+        p["Sfeatures"], p["Rfeatures"], mask,
+        np.asarray(city.to_dense()), np.asarray(prov.to_dense()), batch,
+        p_oracle, n_heads=heads, use_intra=use_intra, joint=joint,
+        use_out_att=out_att,
+    )
+    assert np.isfinite(got).all()
+    assert _rel_to_scale(got, want) < 1e-4
