@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..graph import BipartiteGraph
-from .partition import partition_edges_by_src
+from .partition import partition_edges_by_src, src_block_bounds
 
 
 def _stack_partitions(parts: List[BipartiteGraph]) -> BipartiteGraph:
@@ -73,20 +73,22 @@ class DistributedSpmm:
         # shard i's real edges are exactly the parent's CSR slice
         # [lo_i, lo_i + cnt_i) in order — the reorder is k static slices.
         ptr = np.asarray(graph.row_ptr, np.int64)
-        bounds = np.linspace(0, graph.n_src, k + 1).astype(np.int64)
+        bounds = src_block_bounds(graph.n_src, k)
         self._lo = [int(ptr[b]) for b in bounds[:-1]]
         self._cnt = [int(p.num_edges) for p in parts]
         self._e_max = int(self.senders.shape[1])
 
         n_src, n_dst = graph.n_src, graph.n_dst
-        spec_x = P("data", None)
+        row_blk = -(-n_src // k)   # uniform src rows per shard
+        dst_blk = -(-n_dst // k)   # uniform dst rows per output shard
+        self._row_blk, self._dst_blk = row_blk, dst_blk
 
         @partial(
             jax.shard_map,
             mesh=mesh,
             in_specs=(P("data", None), P("data", None), P("data", None),
-                      spec_x),
-            out_specs=P(None, None),
+                      P("data", None)),
+            out_specs=P("data", None),
             check_vma=False,
         )
         def _fwd(s, r, w, x_shard):
@@ -94,18 +96,21 @@ class DistributedSpmm:
             x_full = jax.lax.all_gather(
                 x_shard, "data", axis=0, tiled=True
             )  # [n_dst, d]
+            i = jax.lax.axis_index("data")
             s, r, w = s[0], r[0], w[0]
             gathered = jnp.where(
                 (r < n_dst)[:, None],
                 jnp.take(x_full, jnp.minimum(r, n_dst - 1), axis=0),
                 0.0,
             )
-            part = jax.ops.segment_sum(
-                gathered * w[:, None], s, num_segments=n_src + 1
-            )[:n_src]
-            # row partition -> disjoint outputs; combine by summation
-            # (zero everywhere outside this shard's row range)
-            return jax.lax.psum(part, "data")
+            # src-partitioned rows are disjoint: localise senders to this
+            # shard's row block and emit only that block — no reduction
+            # collective at all (pad senders fall out of range or into a
+            # sliced-off pad row, with weight 0 either way).
+            return jax.ops.segment_sum(
+                gathered * w[:, None], s - i * row_blk,
+                num_segments=row_blk,
+            )
 
         self._fwd = _fwd
 
@@ -114,7 +119,7 @@ class DistributedSpmm:
             mesh=mesh,
             in_specs=(P("data", None), P("data", None), P("data", None),
                       P(None, None)),
-            out_specs=P(None, None),
+            out_specs=P("data", None),
             check_vma=False,
         )
         def _t(s, r, w, x):
@@ -125,10 +130,14 @@ class DistributedSpmm:
                 0.0,
             )
             part = jax.ops.segment_sum(
-                gathered * w[:, None], r, num_segments=n_dst + 1
-            )[:n_dst]
-            # partial column sums from each edge shard -> psum over ICI
-            return jax.lax.psum(part, "data")
+                gathered * w[:, None], r, num_segments=k * dst_blk
+            )
+            # per-shard partial column sums -> reduce-scatter over ICI so
+            # the combined output comes back dst-row-sharded, O(N·d/K) per
+            # link instead of the full psum's O(K·N·d) replication
+            return jax.lax.psum_scatter(
+                part, "data", scatter_dimension=0, tiled=True
+            )
 
         self._t = _t
 
@@ -149,12 +158,14 @@ class DistributedSpmm:
         w = (self.weights if edge_weight is None
              else self.partition_weights(edge_weight))
         if transpose:
-            return self._t(self.senders, self.receivers, w, x)
-        pad = (-x.shape[0]) % self.k
+            return self._t(self.senders, self.receivers, w,
+                           x)[: self.graph.n_dst]
+        pad = self.k * self._dst_blk - x.shape[0]
         x_p = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
         shard = NamedSharding(self.mesh, P("data", None))
         x_p = jax.device_put(x_p, shard)
-        return self._fwd(self.senders, self.receivers, w, x_p)
+        return self._fwd(self.senders, self.receivers, w,
+                         x_p)[: self.graph.n_src]
 
 
 class RingSpmm:
@@ -302,6 +313,49 @@ class RingSpmm:
             return acc
 
         self._ring_fwd = _fwd
+        dst_blk = self.dst_blk
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P("data", None, None), P("data", None, None),
+                      P("data", None, None), P("data", None)),
+            out_specs=P("data", None),
+            check_vma=False,
+        )
+        def _t(s_bkt, rl_bkt, w_bkt, x_shard):
+            # transpose direction A.T @ x: x is *src*-sharded (each bucket's
+            # senders are already local rows), outputs are dst rows.  A
+            # reduce-scatter ring: the accumulator for dst shard j travels
+            # the ring; device i adds its bucket (i, j) while holding it.
+            # After k steps device i holds the finished shard-i accumulator,
+            # so outputs concatenate dst-sharded with no further collective.
+            i = jax.lax.axis_index("data")
+            s_bkt, rl_bkt, w_bkt = s_bkt[0], rl_bkt[0], w_bkt[0]
+            d = x_shard.shape[1]
+
+            def body(t, acc):
+                shard_id = jax.lax.rem(i + t, k)
+                sb = jax.lax.dynamic_index_in_dim(s_bkt, shard_id, 0, False)
+                rb = jax.lax.dynamic_index_in_dim(rl_bkt, shard_id, 0, False)
+                wb = jax.lax.dynamic_index_in_dim(w_bkt, shard_id, 0, False)
+                # pad slots carry the sender sentinel row_blk (out of
+                # range): clamp for the gather, their weight is 0 anyway
+                gathered = jnp.take(
+                    x_shard, jnp.minimum(sb, row_blk - 1), axis=0
+                ) * wb[:, None]
+                acc = acc + jax.ops.segment_sum(
+                    gathered, rb, num_segments=dst_blk
+                )
+                # pass the partial shard to the next device while the next
+                # bucket's segment-sum runs
+                return jax.lax.ppermute(acc, "data", perm=perm)
+
+            return jax.lax.fori_loop(
+                0, k, body, jnp.zeros((dst_blk, d), x_shard.dtype)
+            )
+
+        self._ring_t = _t
 
     def partition_weights(self, w_csr):
         """Reorder CSR-order per-edge scalars into the (k, k, E_b) bucket
@@ -316,13 +370,17 @@ class RingSpmm:
         )
         return w_ext[jnp.minimum(self._inv, self._e)]
 
-    def __call__(self, x, *, edge_weight=None):
+    def __call__(self, x, *, edge_weight=None, transpose: bool = False):
         w_b = (self._w_b if edge_weight is None
                else self.partition_weights(edge_weight))
-        pad = self.k * self.dst_blk - x.shape[0]
+        blk = self.row_blk if transpose else self.dst_blk
+        pad = self.k * blk - x.shape[0]
         x_p = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
         x_p = jax.device_put(
             x_p, NamedSharding(self.mesh, P("data", None))
         )
+        if transpose:
+            out = self._ring_t(self._s_b, self._rl_b, w_b, x_p)
+            return out[: self.graph.n_dst]
         out = self._ring_fwd(self._s_b, self._rl_b, w_b, x_p)
         return out[: self.graph.n_src]

@@ -17,6 +17,16 @@ import numpy as np
 from ..graph import BipartiteGraph
 
 
+def src_block_bounds(n_src: int, k: int) -> np.ndarray:
+    """Uniform ``ceil(n_src / k)``-sized row-block bounds (length k + 1).
+
+    Uniform blocks (rather than ``linspace``) let a row-partitioned output
+    be expressed as an even ``PartitionSpec('data')`` sharding: shard i owns
+    rows ``[i * blk, (i + 1) * blk)`` of the blk-padded output."""
+    blk = -(-n_src // k)
+    return np.minimum(np.arange(k + 1, dtype=np.int64) * blk, n_src)
+
+
 def partition_edges_by_src(
     graph: BipartiteGraph, k: int, *, pad_to_multiple: int = 128
 ) -> List[BipartiteGraph]:
@@ -26,7 +36,7 @@ def partition_edges_by_src(
     s = np.asarray(graph.senders)[: graph.num_edges]
     r = np.asarray(graph.receivers)[: graph.num_edges]
     w = np.asarray(graph.weight)[: graph.num_edges]
-    bounds = np.linspace(0, graph.n_src, k + 1).astype(np.int64)
+    bounds = src_block_bounds(graph.n_src, k)
     parts = []
     for i in range(k):
         lo, hi = bounds[i], bounds[i + 1]

@@ -1,0 +1,398 @@
+"""Repaired-reference quality baseline (VERDICT round-1 item #1).
+
+Runs the *reference's* PyTorch semantics (Sienna12321/MSHA--GNN) on the real
+2015 flow data, CPU, with exactly the SURVEY §2.2 repairs applied, and records
+final-epoch AUC/acc/P/R/F1 per model family into REFERENCE_RUNS.json.  This
+anchors every quality-parity claim of the TPU framework: GOLDEN.md numbers are
+compared against these.
+
+Repairs applied (SURVEY §2.2; everything else is literal reference semantics):
+  #1 dataset.py:274 intra adjacency reads values[2] of 2-element lists; the
+     shipped Adjacent JSON values are [city, province] -> indices [0]/[1].
+  #2/#7 hard-coded absolute data paths -> /root/reference/anonymous_data;
+     the side-effect JSON dump (dataset.py:290-294) is dropped.
+  #8 --seed parsed but never applied (train.py:25-26) -> torch.manual_seed(42)
+     before the split/model build, mirroring the reference's RNG order
+     (random_split at train.py:187 precedes model init at train.py:206).
+
+Exact-math reorganizations (identical values AND gradients; needed because the
+reference's dense N x N intra matrices are ~6 GB each and
+normalize_adjacency_matrix (model.py:95-100) would build another dense N x N
+diag + two O(N^3) matmuls -- infeasible on this host):
+  * city/province adjacency is only ever consumed as the boolean row mask
+    `adj[source_index] > 0` (train.py:95-96); column normalization keeps
+    positive entries positive (every clique column has degree >= 1), so the
+    mask equals group-id equality: city[b] == city[n].  We store the (N,)
+    group-id vectors and build the (B, N) masks per batch.
+  * inter logits e12 (train.py:78-79): cat([h1 || h2]) @ a decomposes as
+    e12[i, j] = leaky_relu(a_lo . h1[j] + a_hi . h2[i]) -- a rank-1 broadcast
+    instead of the (N, M, 2d') cat tensor.  Same for the per-row-constant GAT
+    logits (GAT.py:24-27: cat([h || h]) @ a = h @ (a_lo + a_hi) broadcast) and
+    the intra logits e3/e4 (train.py:88-92, constant along the neighbor axis).
+  All dropout calls keep the reference's tensor shapes so behavior under
+  training matches in distribution.
+
+Usage:  python scripts_reference_run.py [--models ablation3,gat,gcn,sage]
+"""
+import argparse
+import csv
+import json
+import os
+import time
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+from sklearn.metrics import (accuracy_score, precision_score, recall_score,
+                             roc_auc_score)
+from sklearn.preprocessing import label_binarize
+from torch.utils.data import DataLoader, Dataset, random_split
+
+DATA = "/root/reference/anonymous_data"
+YEAR = "2015"
+
+torch.set_num_threads(os.cpu_count() or 2)
+
+
+# --------------------------------------------------------------------------
+# data (dataset.py:208-296, repaired)
+# --------------------------------------------------------------------------
+class FlowRecords(Dataset):
+    """Per-record (source, recipient) pairs (dataset.py:241-244)."""
+
+    def __init__(self):
+        with open(f"{DATA}/GDP{YEAR}.json", "r", encoding="gbk") as f:
+            self.gdp = json.load(f)["GDP_embedding"]
+        with open(f"{DATA}/Adjacent{YEAR}.json", "r", encoding="gbk") as f:
+            idx = json.load(f)
+        src_map = idx["source_index"]
+        self.N = len(src_map)
+        self.M = len(idx["recipient_index"])
+        # repair #1: shipped values are [city, province]
+        city = np.zeros(self.N, dtype=np.int64)
+        prov = np.zeros(self.N, dtype=np.int64)
+        for k, v in src_map.items():
+            city[int(k)] = int(v[0])
+            prov[int(k)] = int(v[1])
+        self.city_id = torch.from_numpy(city)
+        self.prov_id = torch.from_numpy(prov)
+
+        src, dst = [], []
+        with open(f"{DATA}/Flow{YEAR}.csv", "r", encoding="gb18030") as f:
+            reader = csv.reader(f)
+            next(reader)
+            for row in reader:
+                src.append(int(row[0]))
+                dst.append(int(row[1]))
+        self.src = torch.tensor(src, dtype=torch.long)
+        self.dst = torch.tensor(dst, dtype=torch.long)
+
+        inter = torch.zeros(self.N, self.M)
+        inter.index_put_((self.src, self.dst), torch.ones(len(src)),
+                         accumulate=True)  # dataset.py:286-288 edge counts
+        self.inter_adj = inter
+
+    def __len__(self):
+        return self.src.numel()
+
+    def __getitem__(self, i):
+        return self.src[i], self.dst[i]
+
+
+def normalize_adjacency(adj):
+    """model.py:95-100: A @ D^-1/2 @ D^-1/2 with column-sum degrees."""
+    deg = adj.sum(dim=0)
+    return adj * deg.pow(-1.0).unsqueeze(0)
+
+
+# --------------------------------------------------------------------------
+# layers (reference semantics, exact-math reorganized)
+# --------------------------------------------------------------------------
+def xavier(*shape):
+    p = nn.Parameter(torch.zeros(*shape))
+    nn.init.xavier_uniform_(p.data, gain=1.414)
+    return p
+
+
+def inter_attention(h1, h2, a, inter_mask, dropout, training):
+    """Masked row softmax of the bipartite logits (train.py:78-83)."""
+    e12 = F.leaky_relu(h2 @ a[h1.shape[1]:] + (h1 @ a[:h1.shape[1]]).T,
+                       negative_slope=0.2)  # (N, M), rank-1 decomposition
+    att = torch.where(inter_mask, e12, torch.full_like(e12, -9e15))
+    att = F.softmax(att, dim=1)
+    return F.dropout(att, dropout, training=training)
+
+
+class RefMshaLayer(nn.Module):
+    """OursLayer (train.py:44-118): joint softmax across city/province/inter."""
+
+    def __init__(self, d_in, d_out, dropout, use_intra=True):
+        super().__init__()
+        self.d_out, self.p, self.use_intra = d_out, dropout, use_intra
+        self.W1, self.W2 = xavier(d_in, d_out), xavier(d_in, d_out)
+        self.a = xavier(2 * d_out, 1)
+        self.a3, self.a4 = xavier(2 * d_out, 1), xavier(2 * d_out, 1)
+        self.act = nn.LeakyReLU(0.2)
+        self.bn1, self.bn2 = nn.BatchNorm1d(d_out), nn.BatchNorm1d(d_out)
+
+    def forward(self, S, R, inter_mask, city_id, prov_id, batch):
+        h1, h2 = R @ self.W1, S @ self.W2
+        att_inter = inter_attention(h1, h2, self.a, inter_mask, self.p,
+                                    self.training)
+        if self.use_intra:  # train.py:85-113
+            h2_b = h2[batch]
+            # self-concat logits are neighbor-independent (train.py:88-92)
+            e3 = F.leaky_relu(h2_b @ (self.a3[:self.d_out] +
+                                      self.a3[self.d_out:]), 0.2)  # (B, 1)
+            e4 = F.leaky_relu(h2_b @ (self.a4[:self.d_out] +
+                                      self.a4[self.d_out:]), 0.2)
+            city_m = city_id[batch, None] == city_id[None, :]  # (B, N)
+            prov_m = prov_id[batch, None] == prov_id[None, :]
+            exp3 = torch.where(city_m, torch.exp(e3).expand(-1, S.shape[0]),
+                               torch.zeros(()))
+            exp4 = torch.where(prov_m, torch.exp(e4).expand(-1, S.shape[0]),
+                               torch.zeros(()))
+            # joint denominator spans both intra channels + the batch rows of
+            # the *post-softmax* inter probabilities (train.py:98-100 quirk)
+            denom = (exp3.sum(1, keepdim=True) + exp4.sum(1, keepdim=True)
+                     + torch.exp(att_inter[batch]).sum(1, keepdim=True))
+            att3 = F.dropout(exp3 / denom, self.p, training=self.training)
+            att4 = F.dropout(exp4 / denom, self.p, training=self.training)
+            intra = att3.T @ h2_b + att4.T @ h2_b  # train.py:113
+            u_in = att_inter @ h1 + intra
+        else:  # OursLayer3 (Ablation.py:260-277): inter channel only
+            u_in = att_inter @ h1
+        v = self.act(self.bn1(att_inter.T @ h2))  # train.py:114
+        u = self.act(self.bn2(u_in))
+        return F.elu(u @ v.T)  # (N, M), train.py:117-118
+
+
+class RefGatLayer(nn.Module):
+    """GraphAttentionLayer (GAT.py:6-35): self-concat logits, mask, elementwise."""
+
+    def __init__(self, d_in, d_out, dropout):
+        super().__init__()
+        self.p = dropout
+        self.W = xavier(d_in, d_out)
+        self.a = xavier(2 * d_out, 1)
+
+    def forward(self, x, mask):
+        h = x @ self.W  # (N, M)
+        # cat([h || h]) @ a == h @ (a_lo + a_hi): constant along columns
+        e = F.leaky_relu(h @ (self.a[:h.shape[1]] + self.a[h.shape[1]:]), 0.2)
+        att = torch.where(mask, e.expand_as(h), torch.full_like(h, -9e15))
+        att = F.softmax(att, dim=1)
+        att = F.dropout(att, self.p, training=self.training)
+        return F.elu(att * h)  # GAT.py:34
+
+
+def gdp_features(gdp, n, d):
+    vals = torch.tensor(list(gdp.values())).view(-1, 1)
+    return nn.Parameter(torch.cat((torch.rand([n, d])[:, :-1], vals), dim=1))
+
+
+class RefMsha(nn.Module):
+    """Ours / ablation3 (train.py:153-177, Ablation.py:279-301)."""
+
+    def __init__(self, d_in, d_out, M, heads, dropout, gdp, N, use_intra):
+        super().__init__()
+        self.p = dropout
+        self.S = gdp_features(gdp, N, d_in)
+        self.R = nn.Parameter(torch.rand([M, d_in]))
+        self.heads = nn.ModuleList(
+            RefMshaLayer(d_in, d_out, dropout, use_intra)
+            for _ in range(heads))
+        self.out_att = RefGatLayer(M * heads, M, dropout)
+
+    def forward(self, inter_mask, city_id, prov_id, batch):
+        s = F.dropout(self.S, self.p, training=self.training)
+        r = F.dropout(self.R, self.p, training=self.training)
+        x = torch.cat([h(s, r, inter_mask, city_id, prov_id, batch)
+                       for h in self.heads], dim=1)
+        x = F.dropout(x, self.p, training=self.training)
+        x = F.elu(self.out_att(x, inter_mask))
+        return F.log_softmax(x, dim=1)
+
+
+class RefGat(nn.Module):
+    """GAT (GAT.py:38-58): learnable features, 2 heads + output layer."""
+
+    def __init__(self, d, M, heads, dropout, gdp, N):
+        super().__init__()
+        self.p = dropout
+        self.features = gdp_features(gdp, N, d)
+        self.heads = nn.ModuleList(RefGatLayer(d, M, dropout)
+                                   for _ in range(heads))
+        self.out_att = RefGatLayer(d * heads, M, dropout)
+
+    def forward(self, inter_mask, city_id, prov_id, batch):
+        x = F.dropout(self.features, self.p, training=self.training)
+        x = torch.cat([h(x, inter_mask) for h in self.heads], dim=1)
+        x = F.dropout(x, self.p, training=self.training)
+        x = F.elu(self.out_att(x, inter_mask))
+        return F.log_softmax(x, dim=1)
+
+
+class RefGcn(nn.Module):
+    """GCN (model.py:11-64): gc3 dead, output is (N, nhid) log-softmax."""
+
+    def __init__(self, nfeat, nhid, M, dropout, gdp, N):
+        super().__init__()
+        self.p = dropout
+        gdp_vals = torch.tensor(list(gdp.values())).view(-1, 1)
+        # model.py:52 keeps all nfeat columns and appends GDP (nfeat+1 wide)
+        self.features = nn.Parameter(
+            torch.cat((torch.rand([N, nfeat]), gdp_vals), dim=1))
+        self.w1, self.b1 = self._gc(nfeat + 1, nhid)
+        self.w2, self.b2 = self._gc(nhid, nhid)
+
+    @staticmethod
+    def _gc(d_in, d_out):
+        # GraphConvolution: rand weight re-drawn uniform, *scalar* bias
+        # (model.py:21-32 -- reference-literal, including the 0-dim bias)
+        w = nn.Parameter(torch.rand([d_in, d_out]))
+        b = nn.Parameter(torch.tensor(float(d_out)))
+        stdv = 1.0 / (d_out ** 0.5)
+        w.data.uniform_(-stdv, stdv)
+        b.data.uniform_(-stdv, stdv)
+        return w, b
+
+    def forward(self, adj_norm, city_id, prov_id, batch):
+        x = F.relu(adj_norm.T @ (self.features @ self.w1) + self.b1)  # (M,·)
+        x = F.dropout(x, self.p, training=self.training)
+        x = F.relu(adj_norm @ (x @ self.w2) + self.b2)  # (N, nhid)
+        return F.log_softmax(x, dim=1)
+
+
+class RefSage(nn.Module):
+    """GraphSAGE (SGAE.py:41-56): 2 linears, degree gate via adj rows."""
+
+    def __init__(self, d_in, d_hid, M, gdp, N):
+        super().__init__()
+        self.S = gdp_features(gdp, N, d_in)
+        self.l1 = nn.Linear(d_in, d_hid)
+        self.l2 = nn.Linear(d_hid, M)
+
+    def forward(self, adj_norm, batch):
+        x = F.relu(self.l1(self.S[batch]))
+        x = adj_norm[batch] * x  # SGAE.py:54 (needs d_hid == M)
+        x = F.relu(self.l2(x))
+        return F.log_softmax(x, dim=1)
+
+
+# --------------------------------------------------------------------------
+# metrics (model.py:66-92 verbatim semantics)
+# --------------------------------------------------------------------------
+def ref_metrics(scores, labels, preds):
+    y_bin = label_binarize(labels, classes=np.unique(labels))
+    aucs = [roc_auc_score(y_bin[:, i], scores[:, i])
+            for i in range(y_bin.shape[1])]
+    acc = accuracy_score(labels, preds)
+    out = {"auc": float(np.mean(aucs)), "accuracy": float(acc)}
+    for avg in ("macro", "micro"):
+        p = precision_score(labels, preds, average=avg, zero_division=1)
+        r = recall_score(labels, preds, average=avg, zero_division=1)
+        out[f"precision_{avg}"] = float(p)
+        out[f"recall_{avg}"] = float(r)
+        out[f"f1_{avg}"] = float(2 * p * r / (p + r))
+    return out
+
+
+# --------------------------------------------------------------------------
+# drivers (train.py:217-282 / SGAE.py:88-147 semantics)
+# --------------------------------------------------------------------------
+def run_model(name, ds, epochs, batch_size):
+    torch.manual_seed(42)  # repair #8
+    train_ds, test_ds = random_split(
+        ds, [int(0.9 * len(ds)), len(ds) - int(0.9 * len(ds))])
+    train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True)
+    test_loader = DataLoader(test_ds, batch_size=batch_size, shuffle=False)
+
+    inter_norm = normalize_adjacency(ds.inter_adj)
+    inter_mask = ds.inter_adj > 0
+    N, M = ds.N, ds.M
+
+    if name == "ablation3":
+        model = RefMsha(128, 64, M, 2, 0.5, ds.gdp, N, use_intra=False)
+    elif name == "msha":
+        model = RefMsha(128, 64, M, 2, 0.5, ds.gdp, N, use_intra=True)
+    elif name == "gat":
+        model = RefGat(32, M, 2, 0.5, ds.gdp, N)  # train.py:201
+    elif name == "gcn":
+        model = RefGcn(64, 128, M, 0.5, ds.gdp, N)  # train.py:200
+    elif name == "sage":
+        model = RefSage(32, 32, M, ds.gdp, N)  # SGAE.py:77
+    else:
+        raise ValueError(name)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=5e-4)
+
+    def forward(batch):
+        if name == "sage":
+            return model(inter_norm, batch)
+        if name == "gcn":
+            return model(inter_norm, ds.city_id, ds.prov_id, batch)
+        return model(inter_mask, ds.city_id, ds.prov_id, batch)
+
+    history = []
+    for epoch in range(epochs):
+        t0 = time.time()
+        model.train()
+        tot = 0.0
+        for src, dst in train_loader:
+            opt.zero_grad()
+            out = forward(src)
+            loss = F.nll_loss(out if name == "sage" else out[src], dst)
+            tot += loss.item()
+            loss.backward()
+            opt.step()
+
+        model.eval()
+        scores, labels, test_loss = [], [], 0.0
+        with torch.no_grad():
+            for src, dst in test_loader:
+                out = forward(src)
+                rows = out if name == "sage" else out[src]
+                test_loss += F.nll_loss(rows, dst).item()
+                scores.append(rows.numpy())
+                labels.append(dst.numpy())
+        scores = np.concatenate(scores)
+        labels = np.concatenate(labels)
+        m = ref_metrics(scores, labels, scores.argmax(1))
+        m.update(epoch=epoch + 1, train_loss=tot / len(train_loader),
+                 test_loss=test_loss / len(test_loader),
+                 wall=round(time.time() - t0, 1))
+        history.append(m)
+        print(f"[{name}] epoch {epoch+1}: loss={m['train_loss']:.4f} "
+              f"auc={m['auc']:.4f} acc={m['accuracy']:.4f} "
+              f"({m['wall']}s)", flush=True)
+    return history
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="gat,sage,gcn,ablation3,msha")
+    ap.add_argument("--out", default="REFERENCE_RUNS.json")
+    args = ap.parse_args()
+
+    ds = FlowRecords()
+    print(f"loaded 2015: N={ds.N} M={ds.M} records={len(ds)}", flush=True)
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+    for name in args.models.split(","):
+        epochs, bs = (10, 512) if name == "sage" else (5, 64)
+        t0 = time.time()
+        hist = run_model(name, ds, epochs, bs)
+        results[name] = {"epochs": epochs, "batch_size": bs,
+                         "history": hist, "final": hist[-1],
+                         "wall_total": round(time.time() - t0, 1)}
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"[{name}] done in {results[name]['wall_total']}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -238,3 +238,49 @@ def test_ring_spmm_runtime_weights(rng):
     e = g.num_edges
     np.testing.assert_allclose(np.asarray(gw_r)[:e], np.asarray(gw_s)[:e],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_ring_spmm_transpose_matches_single(rng):
+    """Reduce-scatter ring for A.T @ x (VERDICT r1 weak #4)."""
+    from msha_gnn_tpu.parallel.dist_spmm import RingSpmm
+
+    g, dense = make_random_bipartite(rng, 61, 37, density=0.2)
+    mesh = make_mesh(8, data_axis=8)
+    op = RingSpmm(g, mesh)
+    x = jnp.asarray(rng.standard_normal((61, 8)).astype(np.float32))
+    got = np.asarray(op(x, transpose=True))
+    want = np.asarray(spmm(g, x, transpose=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ring_spmm_transpose_runtime_weights(rng):
+    from msha_gnn_tpu.parallel.dist_spmm import RingSpmm
+
+    g, dense = make_random_bipartite(rng, 48, 40, density=0.25)
+    mesh = make_mesh(8, data_axis=8)
+    op = RingSpmm(g, mesh, runtime_weights=True)
+    w = jnp.asarray(
+        rng.standard_normal(int(g.num_padded_edges)).astype(np.float32)
+    )
+    x = jnp.asarray(rng.standard_normal((48, 8)).astype(np.float32))
+    got = np.asarray(op(x, edge_weight=w, transpose=True))
+    want = np.asarray(spmm(g, x, edge_weight=w, transpose=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_spmm_fwd_hlo_has_no_all_reduce(rng):
+    """The src-partitioned forward emits NO all-reduce of the [N, d]
+    output (VERDICT r1 item #5): outputs stay row-sharded."""
+    g, _ = make_random_bipartite(rng, 64, 48, density=0.2)
+    mesh = make_mesh(8, data_axis=8)
+    op = DistributedSpmm(g, mesh)
+    x = jnp.zeros((48, 8), jnp.float32)
+
+    def fn(x):
+        return op(x)
+
+    hlo = jax.jit(fn).lower(x).compile().as_text()
+    assert "all-reduce" not in hlo, "forward must not all-reduce its output"
+    # outputs of the shard-mapped fwd are row-sharded, not replicated
+    out_sharding = jax.jit(fn).lower(x).compile()(x).sharding
+    assert not out_sharding.is_fully_replicated
