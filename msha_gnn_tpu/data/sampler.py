@@ -102,29 +102,42 @@ def neighbor_sample_subgraph(
 ) -> BipartiteGraph:
     """One-hop neighbour-sampled subgraph (GraphSAGE-style minibatching for
     full-scale link prediction, BASELINE config #4): keep at most ``fanout``
-    edges per seed source node, preserving edge weights."""
+    edges per seed source node, preserving edge weights.
+
+    Fully vectorised (no per-seed Python loop): every candidate edge gets a
+    random key, keys are ranked within their seed segment, and the
+    ``min(deg, fanout)`` smallest ranks win — a uniform without-replacement
+    draw per seed in O(sum deg) numpy work.
+    """
     ptr, recv = _csr_arrays(graph)
     w = np.asarray(graph.weight)[: graph.num_edges]
-    srcs, dsts, ws = [], [], []
-    for s in seed_nodes:
-        lo, hi = ptr[s], ptr[s + 1]
-        deg = hi - lo
-        if deg == 0:
-            continue
-        if deg <= fanout:
-            idx = np.arange(lo, hi)
-        else:
-            idx = lo + rng.choice(deg, fanout, replace=False)
-        srcs.append(np.full(len(idx), s, np.int64))
-        dsts.append(recv[idx])
-        ws.append(w[idx])
-    if not srcs:
+
+    seeds = np.asarray(seed_nodes, np.int64)
+    deg = ptr[seeds + 1] - ptr[seeds]
+    keep = deg > 0
+    seeds, deg = seeds[keep], deg[keep].astype(np.int64)
+    if seeds.size == 0:
         return BipartiteGraph.from_coo(
             [], [], [], n_src=graph.n_src, n_dst=graph.n_dst,
             pad_to_multiple=pad_to_multiple,
         )
+
+    total = int(deg.sum())
+    seg_start = np.cumsum(deg) - deg          # candidate offset per seed
+    seg_id = np.repeat(np.arange(seeds.size), deg)
+    # ragged arange: candidate c of seed i -> global CSR edge index
+    within = np.arange(total, dtype=np.int64) - seg_start[seg_id]
+    edge_idx = np.repeat(ptr[seeds], deg) + within
+
+    order = np.lexsort((rng.random(total), seg_id))  # shuffle within segment
+    pos = np.arange(total, dtype=np.int64) - seg_start[seg_id]  # rank
+    chosen = edge_idx[order][pos < fanout]
+
+    # `chosen` stays grouped by seed (lexsort is segment-major), so the
+    # sender column is seeds repeated by their clipped degrees
     return BipartiteGraph.from_coo(
-        np.concatenate(srcs), np.concatenate(dsts), np.concatenate(ws),
+        np.repeat(seeds, np.minimum(deg, fanout)),
+        recv[chosen], w[chosen],
         n_src=graph.n_src, n_dst=graph.n_dst,
         pad_to_multiple=pad_to_multiple, combine_duplicates=False,
     )

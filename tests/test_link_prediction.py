@@ -154,3 +154,51 @@ def test_sgae_temporal_pretrain(rng):
     with _pytest.raises(ValueError):
         pretrain_autoencoder_temporal({"a": bad, "b": fgs["2015"]}, dim=4,
                                       epochs=1)
+
+
+def test_neighbor_sample_subgraph_properties(rng):
+    """Vectorised sampler invariants (VERDICT r1 item #8): per-seed edge
+    counts are min(deg, fanout); sampled edges are a subset of the seed's
+    CSR row with no duplicates; low-degree rows keep every edge."""
+    g, dense = make_random_bipartite(rng, 200, 60, density=0.08)
+    ptr = np.asarray(g.row_ptr)
+    recv = np.asarray(g.receivers)[: g.num_edges]
+    seeds = rng.permutation(200)[:120]
+    fanout = 3
+    sub = neighbor_sample_subgraph(rng, g, seeds, fanout, pad_to_multiple=8)
+
+    s = np.asarray(sub.senders)[: sub.num_edges]
+    r = np.asarray(sub.receivers)[: sub.num_edges]
+    deg = ptr[seeds + 1] - ptr[seeds]
+    want_counts = {
+        int(n): int(min(d, fanout)) for n, d in zip(seeds, deg) if d > 0
+    }
+    got_counts = dict(zip(*[list(v) for v in np.unique(s,
+                                                       return_counts=True)]))
+    assert {int(k): int(v) for k, v in got_counts.items()} == want_counts
+    for n in np.unique(s):
+        row = recv[ptr[n]: ptr[n + 1]]
+        chosen = r[s == n]
+        assert len(set(chosen.tolist())) == len(chosen)  # no duplicates
+        assert set(chosen.tolist()) <= set(row.tolist())
+        if len(row) <= fanout:  # low degree keeps the full row
+            assert sorted(chosen.tolist()) == sorted(row.tolist())
+
+
+def test_neighbor_sample_subgraph_scales(rng):
+    """100k seeds on a skewed graph completes in well under a second."""
+    import time
+
+    n_src, n_dst = 100_000, 5_000
+    deg = rng.zipf(1.6, n_src).clip(0, 500)
+    s = np.repeat(np.arange(n_src), deg)
+    r = rng.integers(0, n_dst, s.size)
+    from msha_gnn_tpu.graph import BipartiteGraph
+
+    g = BipartiteGraph.from_coo(s, r, np.ones(s.size, np.float32),
+                                n_src=n_src, n_dst=n_dst,
+                                combine_duplicates=False)
+    t0 = time.time()
+    sub = neighbor_sample_subgraph(rng, g, np.arange(n_src), fanout=10)
+    assert time.time() - t0 < 5.0  # loop version took tens of seconds
+    assert sub.num_edges > 0
