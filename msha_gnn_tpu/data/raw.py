@@ -39,12 +39,39 @@ class RawRecord:
     school_province: str
 
 
+def load_major_table() -> Dict[str, str]:
+    """The reference's hard-coded 721-entry major -> first-level-discipline
+    overrides dict (``more_major``, ``dataset.py:365-378``; the reference
+    file is GBK-encoded — this is its decoded content, shipped as a package
+    asset).  The reference's *primary* table is loaded from a ``major.csv``
+    at a private absolute path (``dataset.py:360-364``) that is not shipped;
+    :func:`derive_prefix_table` recovers the unambiguous part of it."""
+    path = os.path.join(os.path.dirname(__file__), "assets",
+                        "more_major.json")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def derive_prefix_table(
+    overrides: Optional[Dict[str, str]] = None,
+) -> Dict[str, str]:
+    """Best-effort reconstruction of the reference's 2-char-prefix table
+    (``major`` from the unshipped ``major.csv``, ``dataset.py:359-364``):
+    every prefix whose override entries agree on a single discipline."""
+    overrides = load_major_table() if overrides is None else overrides
+    by_prefix: Dict[str, set] = {}
+    for name, disc in overrides.items():
+        by_prefix.setdefault(name[:2], set()).add(disc)
+    return {p: next(iter(d)) for p, d in by_prefix.items() if len(d) == 1}
+
+
 def classify_major(major: str, table: Dict[str, str],
                    overrides: Optional[Dict[str, str]] = None):
     """Reference ``majorClassify`` (``dataset.py:380-390``): strip a
-    parenthesised suffix, look up by 2-char prefix in the table, fall back
-    to the overrides dict; None for unclassifiable entries."""
-    m = major.split("(")[0].strip()
+    parenthesised suffix and '★' markers, look up by 2-char prefix in the
+    table, fall back to the overrides dict; None for unclassifiable
+    entries."""
+    m = major.split("(")[0].strip().strip("★")
     if not m or m.startswith("??"):
         return None
     prefix = m[:2]
