@@ -36,19 +36,53 @@ def _sym_graph(src, dst, n, pad_to_multiple=128) -> BipartiteGraph:
     )
 
 
+def _load_split_pt(path: str) -> Dict[str, np.ndarray]:
+    """One OGB split file (torch-pickled dict of edge tensors)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    return {k: np.asarray(v) for k, v in blob.items()}
+
+
 def load_ogbl_ddi(root: str) -> Dict:
     """Load a local OGB-format ogbl-ddi copy; raises FileNotFoundError if
-    absent."""
+    absent.
+
+    Expected layout (the official ``ogb.linkproppred`` download tree)::
+
+        <root>/ogbl_ddi/raw/edge.csv[.gz]          # [E, 2] int edge list
+        <root>/ogbl_ddi/split/target/train.pt      # {'edge': [E, 2]}
+        <root>/ogbl_ddi/split/target/valid.pt      # + {'edge_neg': [K, 2]}
+        <root>/ogbl_ddi/split/target/test.pt
+
+    The split files are optional; when present the official protocol splits
+    are returned under ``"split"`` and :func:`split_edges` uses them instead
+    of re-splitting.  One-command path once real data is available:
+    ``split_edges(load_ogbl_ddi(root))``.
+    """
     raw = os.path.join(root, "ogbl_ddi", "raw")
     for name in ("edge.csv.gz", "edge.csv"):
         path = os.path.join(raw, name)
-        if os.path.exists(path):
-            opener = gzip.open if name.endswith(".gz") else open
-            with opener(path, "rt") as f:
-                edges = np.loadtxt(f, delimiter=",", dtype=np.int64)
-            src, dst = edges[:, 0], edges[:, 1]
-            n = int(edges.max()) + 1
-            return {"src": src, "dst": dst, "n": n, "name": "ogbl-ddi"}
+        if not os.path.exists(path):
+            continue
+        opener = gzip.open if name.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            edges = np.loadtxt(f, delimiter=",", dtype=np.int64)
+        src, dst = edges[:, 0], edges[:, 1]
+        n = int(edges.max()) + 1
+        out = {"src": src, "dst": dst, "n": n, "name": "ogbl-ddi"}
+        split_dir = os.path.join(root, "ogbl_ddi", "split", "target")
+        if os.path.exists(os.path.join(split_dir, "train.pt")):
+            split = {}
+            for part in ("train", "valid", "test"):
+                blob = _load_split_pt(os.path.join(split_dir, f"{part}.pt"))
+                split[part] = blob["edge"]
+                if "edge_neg" in blob:
+                    split[f"{part}_neg"] = blob["edge_neg"]
+            out["split"] = split
+            n_all = max(int(v.max()) for v in split.values() if v.size)
+            out["n"] = max(n, n_all + 1)
+        return out
     raise FileNotFoundError(f"no OGB edge file under {raw}")
 
 
@@ -89,9 +123,30 @@ def split_edges(data: Dict, valid_frac: float = 0.05, test_frac: float = 0.05,
                 pad_to_multiple: int = 128) -> Dict:
     """OGB-style splits: the message-passing graph contains only train
     edges; valid/test positives are held out; fixed uniform negative pairs
-    for Hits@K evaluation."""
+    for Hits@K evaluation.
+
+    When ``data`` carries the official OGB split (``load_ogbl_ddi`` with the
+    split/target files present), those edges and negative sets are used
+    verbatim — the OGB leaderboard protocol."""
+    n = data["n"]
+    if "split" in data:
+        sp = data["split"]
+        tr, va, te = sp["train"], sp["valid"], sp["test"]
+        neg = sp.get("test_neg", sp.get("valid_neg"))
+        out = {
+            "n": n,
+            "name": data["name"],
+            "graph": _sym_graph(tr[:, 0], tr[:, 1], n, pad_to_multiple),
+            "train_pos": (tr[:, 0], tr[:, 1]),
+            "valid_pos": (va[:, 0], va[:, 1]),
+            "test_pos": (te[:, 0], te[:, 1]),
+            "neg": (neg[:, 0], neg[:, 1]),
+        }
+        if "valid_neg" in sp:
+            out["valid_neg"] = (sp["valid_neg"][:, 0], sp["valid_neg"][:, 1])
+        return out
     rng = np.random.default_rng(seed)
-    src, dst, n = data["src"], data["dst"], data["n"]
+    src, dst = data["src"], data["dst"]
     e = len(src)
     perm = rng.permutation(e)
     n_valid = int(e * valid_frac)

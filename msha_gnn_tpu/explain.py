@@ -74,21 +74,52 @@ def save_attcoeff_npz(path: str, att_inter: np.ndarray, city: Grouping,
     """Reference-parity npz artefact (``train.py:317-321`` writes
     ``{year}AttCoeff.npz`` with dense Coeff12/Coeff3/Coeff4).
 
+    ``att_inter`` may be per-head ``[H, N, M]`` (``city_w``/``prov_w`` then
+    ``[H, N]``): all heads are stored under ``*_heads`` keys, and the
+    reference-compatible single-head keys hold the *last* head — the
+    reference's sequential per-head buffer writes leave head H-1 in the
+    globals (``train.py:173`` + ``train.py:106-110``).
+
     ``Coeff12`` is dense (N, M) as in the reference.  The (N, N) clique
     coefficients are stored *factored*: per-node weight + group id (the
     dense row of node i is ``city_w[i]`` over the members of ``city_gid[i]``
-    — ~6 GB per dense buffer avoided; Explainer-style consumers reconstruct
-    any row on demand)."""
-    n = att_inter.shape[0]
+    — ~6 GB per dense buffer avoided; :func:`reconstruct_intra_row`
+    rebuilds any dense row on demand)."""
+    att_inter = np.asarray(att_inter)
+    heads = att_inter[None] if att_inter.ndim == 2 else att_inter
+    n = heads.shape[1]
+
+    def per_head(w):
+        if w is None:
+            return np.ones((heads.shape[0], n), np.float32)
+        w = np.asarray(w)
+        return w[None] if w.ndim == 1 else w
+
+    cw, pw = per_head(city_w), per_head(prov_w)
     np.savez(
         path,
-        Coeff12=att_inter,
-        city_w=np.asarray(city_w) if city_w is not None else np.ones(n, np.float32),
+        Coeff12=heads[-1],
+        Coeff12_heads=heads,
+        city_w=cw[-1],
+        city_w_heads=cw,
         city_gid=np.asarray(city.group_id),
-        province_w=np.asarray(prov_w) if prov_w is not None else np.ones(n, np.float32),
+        province_w=pw[-1],
+        province_w_heads=pw,
         province_gid=np.asarray(province.group_id),
     )
     return path
+
+
+def reconstruct_intra_row(npz, channel: str, i: int, head: int = -1):
+    """Dense row i of the (N, N) city/province coefficient buffer from the
+    factored npz — the reference's ``Coeff3[i]`` / ``Coeff4[i]``
+    (``train.py:109-110``): the node's recorded weight over the members of
+    its clique, zero elsewhere."""
+    gid = npz[f"{channel}_gid"]
+    w = npz[f"{channel}_w_heads"][head]
+    row = np.zeros(gid.shape[0], np.float32)
+    row[gid == gid[i]] = w[i]
+    return row
 
 
 def run_explain(year="2015", data_dir="/root/reference/anonymous_data",
@@ -127,14 +158,27 @@ def run_explain(year="2015", data_dir="/root/reference/anonymous_data",
         state.variables, inter_mask, fg.city, fg.province,
         jnp.arange(fg.n_src, dtype=jnp.int32), train=False, record=True,
     )
-    att_inter = np.asarray(auxes[0]["att_inter"])  # head 0, as the reference
+    # all heads recorded ([H, N, M]); the reference's buffers keep only the
+    # last head's write (train.py:173 sequential head loop), so single-head
+    # artefacts below use head -1 for parity while the npz keeps every head
+    att_heads = np.stack([np.asarray(a["att_inter"]) for a in auxes])
+    att_inter = att_heads[-1]
+    cw = ([np.asarray(a["intra_city_weight"]) for a in auxes]
+          if "intra_city_weight" in auxes[0] else None)
+    pw = ([np.asarray(a["intra_province_weight"]) for a in auxes]
+          if "intra_province_weight" in auxes[0] else None)
     if npz_path:
         save_attcoeff_npz(
-            npz_path, att_inter, fg.city, fg.province,
-            city_w=auxes[0].get("intra_city_weight"),
-            prov_w=auxes[0].get("intra_province_weight"),
+            npz_path, att_heads, fg.city, fg.province,
+            city_w=None if cw is None else np.stack(cw),
+            prov_w=None if pw is None else np.stack(pw),
         )
     art = extract_attention(att_inter, fg.city, fg.province, top_k=top_k)
+    per_head_top = [
+        np.asarray(top_k_per_row(jnp.asarray(att_heads[h]),
+                                 min(top_k, att_heads.shape[2]))[0])
+        for h in range(att_heads.shape[0])
+    ]
 
     _, _, recipient_index = load_index_match(
         os.path.join(data_dir, f"Adjacent{year}.json")
@@ -151,6 +195,13 @@ def run_explain(year="2015", data_dir="/root/reference/anonymous_data",
         },
         "CityAtt": {str(i): m for i, m in enumerate(art["city_members"])},
         "ProvinceAtt": {str(i): m for i, m in enumerate(art["province_members"])},
+        # per-head top recipients (the reference can only expose its last
+        # head; the framework records all of them)
+        "InterAttS_heads": [
+            {str(i): [idx_to_name[int(j)] for j in head_top[i]]
+             for i in range(att_inter.shape[0])}
+            for head_top in per_head_top
+        ],
     }
     with open(output, "w") as f:
         json.dump(data, f)
