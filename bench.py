@@ -78,15 +78,42 @@ def main():
         t_gather = _timeit(
             jax.jit(lambda x: jnp.take(x, recv, axis=0)), x, iters=10
         )
+        # Row-rate proof (scripts_gather_probe.py, r2): a *sequential*-index
+        # gather of the same row count runs at the same speed as the random
+        # one — the TPU gather path is bound by rows/s issue rate, not by
+        # access pattern or HBM bandwidth.  Receiver reordering therefore
+        # cannot help; the kernel's gather IS the floor.
+        seq_idx = jnp.asarray(
+            (np.arange(int(recv.shape[0])) % n).astype(np.int32)
+        )
+        t_gather_seq = _timeit(
+            jax.jit(lambda x: jnp.take(x, seq_idx, axis=0)), x, iters=10
+        )
         e_ch = op.fwd_dir.e_ch
         t_stream = (e_ch * (4 * d + 8) + n * d * 4) / bw
+
+        # bf16 feature streaming: halves gather write + kernel read traffic
+        # (f32 accumulation inside the kernel; ~2^-8 relative error)
+        op16 = SpmmOperator.build(g, precision="bf16")
+        t_p16 = _timeit(jax.jit(lambda x: op16(x)), x, iters=10)
+        x16 = x.astype(jnp.bfloat16)
+        t_gather16 = _timeit(
+            jax.jit(lambda x: jnp.take(x, recv, axis=0)), x16, iters=10
+        )
+
         details["spmm_pallas"] = {
             "seconds": t_p, "edges_per_s": e / t_p,
+            "seconds_bf16": t_p16, "edges_per_s_bf16": e / t_p16,
             "speedup_vs_xla": t_x / t_p,
+            "speedup_vs_xla_bf16": t_x / t_p16,
             "roofline_fraction": (phase / bw) / t_p,
             "strict_roofline_fraction": (strict / bw) / t_p,
             "gather_seconds": t_gather,
+            "gather_sequential_seconds": t_gather_seq,
+            "gather_rows_per_s": float(recv.shape[0]) / t_gather,
             "achievable_fraction": (t_gather + t_stream) / t_p,
+            "gather_bf16_seconds": t_gather16,
+            "achievable_fraction_bf16": (t_gather16 + t_stream / 2) / t_p16,
         }
         details["spmm_xla"] = {"seconds": t_x, "edges_per_s": e / t_x}
         print(f"spmm done t={time.time()-t_start:.0f}s", file=sys.stderr)

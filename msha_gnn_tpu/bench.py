@@ -275,6 +275,22 @@ def bench_flagship(
     # the dominant (N, M, 2d') and (B, N) terms)
     t_dense_full = t_dense * (fg.n_src / b_n)
 
+    # MFU for the flagship step (VERDICT r1 item #10): compiled-program
+    # FLOPs of the scan-fused multi-step / measured step time / chip peak.
+    flops_per_step = None
+    mfu = None
+    try:
+        cost = jax.jit(mstep).lower(state, bs, ls, ws, key).compile()
+        analysis = cost.cost_analysis()
+        if isinstance(analysis, list):  # older jax returns [dict]
+            analysis = analysis[0]
+        flops_per_step = float(analysis["flops"]) / s_steps
+        peak = device_peak_flops()
+        if peak:
+            mfu = flops_per_step / t_ours / peak
+    except Exception:
+        pass
+
     return {
         "n": fg.n_src,
         "m": fg.n_dst,
@@ -282,10 +298,30 @@ def bench_flagship(
         "step_seconds": t_ours,
         "single_dispatch_step_seconds": t_single,
         "records_per_s": batch_size / t_ours,
+        "flops_per_step": flops_per_step,
+        "mfu": mfu,
         "dense_baseline_step_seconds": t_dense_full,
         "dense_baseline_n": b_n,
         "speedup_vs_dense_reference": t_dense_full / t_ours,
     }
+
+
+def device_peak_flops() -> Optional[float]:
+    """Per-chip peak matmul FLOP/s for the MFU denominator, by device kind.
+
+    bf16 peaks (the TPU MXU's native precision; f32 work lowers to bf16
+    passes, so measuring against the bf16 peak is the conservative,
+    non-overclaiming convention)."""
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v5 lite": 197e12, "v5e": 197e12,
+        "v5p": 459e12, "v5": 459e12,
+        "v4": 275e12, "v6 lite": 918e12, "v6e": 918e12,
+    }
+    for name, peak in table.items():
+        if name in kind:
+            return peak
+    return None
 
 
 # ---------------------------------------------------------------------------

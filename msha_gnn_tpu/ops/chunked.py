@@ -35,6 +35,7 @@ from .pallas.spmm import (
     ROW_BLK,
     _chunk_schedule,
     _round_up,
+    _sddmm_visits_raw,
     _visit_reduce_raw,
 )
 
@@ -84,6 +85,36 @@ def _fused_spmm(x, w_s, recv_s, snd_s, bid_s, cs_s, first_s, last_s, *,
     return acc
 
 
+@partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def _fused_sddmm(g, x, recv_s, snd_s, bid_s, cs_s, cfirst_s, *, n_rows: int,
+                 interpret: bool):
+    """Per-edge ``<g[send_e], x[recv_e]>`` over the stacked slices (the
+    SpMM dw adjoint), one ``lax.scan`` dispatch.  Returns [k, E_max] in
+    each slice's edge order (slices are contiguous CSR ranges, so the
+    concatenation of the real prefixes is CSR order)."""
+    d_feat = g.shape[1]
+    d_pad = _round_up(d_feat, LANE)
+    n_pad_rows = _round_up(max(n_rows, ROW_BLK), ROW_BLK)
+    g_p = jnp.pad(
+        g.astype(jnp.float32),
+        ((0, n_pad_rows - g.shape[0]), (0, d_pad - d_feat)),
+    )
+
+    def body(_, sl):
+        recv_cl, senders, bid, cs, cfirst = sl
+        dst_ord = jnp.take(x, recv_cl, axis=0)
+        if d_pad != d_feat:
+            dst_ord = jnp.pad(dst_ord, ((0, 0), (0, d_pad - d_feat)))
+        dw = _sddmm_visits_raw(g_p, dst_ord, senders, bid, cs, cfirst,
+                               interpret)
+        return None, dw
+
+    _, dws = jax.lax.scan(
+        body, None, (recv_s, snd_s, bid_s, cs_s, cfirst_s)
+    )
+    return dws
+
+
 class ChunkedSpmm:
     """``A @ x`` over an edge-sliced graph (forward/inference path for
     graphs whose gathered intermediate exceeds HBM).
@@ -120,8 +151,11 @@ class ChunkedSpmm:
             self._host = (s_np, r_np, w_np, n_src, n_dst)
         self.n_src, self.n_dst = int(n_src), int(n_dst)
         e = len(s_np)
+        self.num_edges = e
         n_pad_rows = _round_up(max(self.n_src, ROW_BLK), ROW_BLK)
         bounds = np.linspace(0, e, num_slices + 1).astype(np.int64)
+        self._bounds = [(int(bounds[i]), int(bounds[i + 1]))
+                        for i in range(num_slices)]
         built = []
         for i in range(num_slices):
             lo, hi = bounds[i], bounds[i + 1]
@@ -152,6 +186,7 @@ class ChunkedSpmm:
         max_e_ch = max(b[7] for b in built)
         max_vis = max(len(b[3]) for b in built)
         last_block = n_pad_rows // ROW_BLK - 1
+        self._max_e_ch = max_e_ch
         self.slices = []
         for w_p, recv_cl, senders, bid, cs, first, last, e_ch in built:
             ep = max_e_ch - e_ch
@@ -159,6 +194,12 @@ class ChunkedSpmm:
             # schedule padding: revisit the LAST block with the final
             # (all-sentinel) chunk — first=0 keeps the resident block,
             # the sentinel senders one-hot to nothing, nothing changes
+            cs_p = np.pad(cs, (0, vp),
+                          constant_values=max_e_ch // E_CHUNK - 1)
+            # chunk-first flags for the SDDMM adjoint (a chunk is
+            # zero-initialised on its first visit, accumulated after)
+            cfirst = np.ones(len(cs_p), np.int32)
+            cfirst[1:] = (cs_p[1:] != cs_p[:-1]).astype(np.int32)
             self.slices.append(tuple(
                 jnp.asarray(a) for a in (
                     np.pad(w_p, (0, ep)),
@@ -166,10 +207,10 @@ class ChunkedSpmm:
                            constant_values=self.n_dst - 1),
                     np.pad(senders, (0, ep), constant_values=n_pad_rows),
                     np.pad(bid, (0, vp), constant_values=last_block),
-                    np.pad(cs, (0, vp),
-                           constant_values=max_e_ch // E_CHUNK - 1),
+                    cs_p,
                     np.pad(first, (0, vp)),
                     np.pad(last, (0, vp)),
+                    cfirst,
                 )
             ))
 
@@ -186,37 +227,107 @@ class ChunkedSpmm:
         r = np.ascontiguousarray(receivers, np.int32)
         w = (np.ones(len(s), np.float32) if weight is None
              else np.ascontiguousarray(weight, np.float32))
+        order = None
         if not assume_sorted:
             order = np.argsort(s, kind="stable")  # radix on ints
             s, r, w = s[order], r[order], w[order]
-        return cls(None, num_slices, interpret, fused=fused,
-                   _host=(s, r, w, int(n_src), int(n_dst)))
+        op = cls(None, num_slices, interpret, fused=fused,
+                 _host=(s, r, w, int(n_src), int(n_dst)))
+        # input-order -> this operator's CSR order (runtime weight reorder)
+        op._input_perm = order
+        return op
 
-    def __call__(self, x, *, transpose: bool = False):
+    def _transpose_op(self) -> "ChunkedSpmm":
+        if not hasattr(self, "_t"):
+            s, r, w, n_src, n_dst = self._host
+            self._t = ChunkedSpmm.from_host_coo(
+                r, s, w, n_src=n_dst, n_dst=n_src,
+                num_slices=len(self.slices),
+                interpret=self.interpret, fused=self.fused,
+            )
+        return self._t
+
+    def _ensure_stacked(self):
+        if not hasattr(self, "_stacked"):
+            self._stacked = tuple(
+                jnp.stack(comp) for comp in zip(*self.slices)
+            )
+        return self._stacked
+
+    def partition_weights(self, w):
+        """CSR-edge-order scalars [E] -> the stacked [k, E_max] slice layout
+        (k static contiguous slices + pads; jit-safe)."""
+        w = w[: self.num_edges].astype(jnp.float32)
+        return jnp.stack([
+            jnp.pad(w[lo:hi], (0, self._max_e_ch - (hi - lo)))
+            for lo, hi in self._bounds
+        ])
+
+    def apply(self, x, edge_weight):
+        """Differentiable ``A(edge_weight) @ x`` with runtime per-edge
+        weights in this operator's CSR order (e.g. attention coefficients)
+        — d/dx runs the transposed chunked pass, d/dw the chunked SDDMM.
+        Out-of-core training path (BASELINE config #5)."""
+        if not hasattr(self, "_apply"):
+            self._build_trainable()
+        return self._apply(x, edge_weight)
+
+    def _build_trainable(self):
+        stacked = self._ensure_stacked()
+        t = self._transpose_op()
+        t_stacked = t._ensure_stacked()
+        n_src, n_dst = self.n_src, self.n_dst
+        interp = self.interpret
+        bounds, e = self._bounds, self.num_edges
+        # CSR -> transpose(CSC) edge-order permutation, device-resident
+        perm_t = jnp.asarray(t._input_perm.astype(np.int32))
+
+        @jax.custom_vjp
+        def apply_fn(x, w):
+            w_s = self.partition_weights(w)
+            return _fused_spmm(x, w_s, *stacked[1:7], n_rows=n_src,
+                               interpret=interp)
+
+        def apply_fwd(x, w):
+            return apply_fn(x, w), (x, w)
+
+        def apply_bwd(res, g):
+            x, w = res
+            w_t = jnp.take(w[:e], perm_t)            # CSR -> CSC order
+            w_ts = t.partition_weights(w_t)
+            dx = _fused_spmm(g, w_ts, *t_stacked[1:7], n_rows=n_dst,
+                             interpret=interp)
+            dws = _fused_sddmm(
+                g, x, stacked[1], stacked[2], stacked[3], stacked[4],
+                stacked[7], n_rows=n_src, interpret=interp,
+            )
+            dw = jnp.concatenate([
+                dws[i, : hi - lo] for i, (lo, hi) in enumerate(bounds)
+            ])
+            return dx, dw
+
+        apply_fn.defvjp(apply_fwd, apply_bwd)
+        self._apply = apply_fn
+
+    def __call__(self, x, *, edge_weight=None, transpose: bool = False):
         if transpose:
-            if not hasattr(self, "_t"):
-                s, r, w, n_src, n_dst = self._host
-                object.__setattr__(
-                    self, "_t",
-                    ChunkedSpmm.from_host_coo(
-                        r, s, w, n_src=n_dst, n_dst=n_src,
-                        num_slices=len(self.slices),
-                        interpret=self.interpret, fused=self.fused,
-                    ),
-                )
-            return self._t(x)
+            if edge_weight is not None:
+                t = self._transpose_op()
+                w_t = jnp.take(edge_weight[: self.num_edges],
+                               jnp.asarray(t._input_perm.astype(np.int32)))
+                return t(x, edge_weight=w_t)
+            return self._transpose_op()(x)
+        if edge_weight is not None:
+            return self.apply(x, edge_weight)
         if self.fused:
-            if not hasattr(self, "_stacked"):
-                object.__setattr__(self, "_stacked", tuple(
-                    jnp.stack(comp) for comp in zip(*self.slices)
-                ))
-            w_s, recv_s, snd_s, bid_s, cs_s, first_s, last_s = self._stacked
+            stacked = self._ensure_stacked()
+            w_s, recv_s, snd_s, bid_s, cs_s, first_s, last_s = stacked[:7]
             return _fused_spmm(
                 x, w_s, recv_s, snd_s, bid_s, cs_s, first_s, last_s,
                 n_rows=self.n_src, interpret=self.interpret,
             )
         out = None
-        for w, recv_cl, senders, bid, cs, first, last in self.slices:
+        for w, recv_cl, senders, bid, cs, first, last, _ in self.slices:
             part = _slice_spmm(
                 x, w, recv_cl, senders, bid, cs, first, last,
                 n_rows=self.n_src, interpret=self.interpret,

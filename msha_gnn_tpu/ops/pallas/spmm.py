@@ -518,13 +518,23 @@ def _sddmm_visits(dir_: _Direction, h_src, h_dst, interpret: bool):
         h_dst = jnp.pad(h_dst, ((0, 0), (0, d_pad - d_feat)))
     h_src_p = jnp.pad(h_src, ((0, n_rows_pad - h_src.shape[0]), (0, 0)))
     dst_ord = jnp.take(h_dst, dir_.recv_clamped, axis=0)  # [E_ch, d]
+    out = _sddmm_visits_raw(h_src_p, dst_ord, dir_.senders, dir_.bid,
+                            dir_.cs, dir_.cfirst, interpret)
+    return out[: dir_.e_pad]
 
-    e_ch = dir_.e_ch
+
+def _sddmm_visits_raw(h_src_p, dst_ord, senders, bid, cs, cfirst,
+                      interpret: bool):
+    """Array-level SDDMM entry (shared with ``ops.chunked``): all schedule
+    pieces as explicit arguments.  ``h_src_p`` is ROW_BLK-padded,
+    ``dst_ord`` is [E_ch, d_pad] edge-ordered; returns [E_ch] logits."""
+    e_ch, d_pad = dst_ord.shape
+    n_rows_pad = h_src_p.shape[0]
     out = pl.pallas_call(
         _sddmm_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(int(dir_.bid.shape[0]),),
+            grid=(int(bid.shape[0]),),
             in_specs=[
                 pl.BlockSpec((1, E_CHUNK),
                              lambda k, bid, cs, cfirst: (0, cs[k]),
@@ -549,10 +559,9 @@ def _sddmm_visits(dir_: _Direction, h_src, h_dst, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(dir_.bid, dir_.cs, dir_.cfirst, dir_.senders.reshape(1, e_ch),
-      h_src_p, dst_ord)
-    # output is already in CSR edge order — just drop the chunk padding
-    return out.reshape(e_ch)[: dir_.e_pad]
+    )(bid, cs, cfirst, senders.reshape(1, e_ch), h_src_p, dst_ord)
+    # output is already in the direction's edge order
+    return out.reshape(e_ch)
 
 
 class SpmmOperator:

@@ -275,3 +275,59 @@ def test_spmm_operator_extreme_degree_skew(rng):
         np.asarray(op(jnp.asarray(xt), transpose=True)), dense.T @ xt,
         rtol=1e-3, atol=1e-2,
     )
+
+
+def test_chunked_spmm_trainable_matches_dense(rng):
+    """ChunkedSpmm.apply (runtime edge weights, VERDICT r1 item #4):
+    forward + d/dx + d/dw all match the dense oracle."""
+    from msha_gnn_tpu.ops.chunked import ChunkedSpmm
+
+    n_src, n_dst, e, d = 90, 70, 600, 12
+    s = rng.integers(0, n_src, e).astype(np.int32)
+    r = rng.integers(0, n_dst, e).astype(np.int32)
+    op = ChunkedSpmm.from_host_coo(s, r, None, n_src=n_src, n_dst=n_dst,
+                                   num_slices=3, interpret=True)
+    # operator CSR order: senders sorted stably
+    order = np.argsort(s, kind="stable")
+    s_o, r_o = s[order], r[order]
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((n_dst, d)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((n_src, d)).astype(np.float32))
+
+    def dense_loss(x, w):
+        a = jnp.zeros((n_src, n_dst)).at[s_o, r_o].add(w)
+        return ((a @ x) * ct).sum()
+
+    def chunk_loss(x, w):
+        return (op.apply(x, w) * ct).sum()
+
+    np.testing.assert_allclose(
+        np.asarray(op.apply(x, w)),
+        np.asarray(jnp.zeros((n_src, n_dst)).at[s_o, r_o].add(w) @ x),
+        rtol=1e-4, atol=1e-4,
+    )
+    gx_d, gw_d = jax.grad(dense_loss, argnums=(0, 1))(x, w)
+    gx_c, gw_c = jax.grad(chunk_loss, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_d),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_spmm_transpose_runtime_weights(rng):
+    from msha_gnn_tpu.ops.chunked import ChunkedSpmm
+
+    n_src, n_dst, e, d = 60, 50, 400, 8
+    s = rng.integers(0, n_src, e).astype(np.int32)
+    r = rng.integers(0, n_dst, e).astype(np.int32)
+    op = ChunkedSpmm.from_host_coo(s, r, None, n_src=n_src, n_dst=n_dst,
+                                   num_slices=2, interpret=True)
+    order = np.argsort(s, kind="stable")
+    s_o, r_o = s[order], r[order]
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((n_src, d)).astype(np.float32))
+    got = np.asarray(op(x, edge_weight=w, transpose=True))
+    a = np.zeros((n_src, n_dst), np.float32)
+    np.add.at(a, (s_o, r_o), np.asarray(w))
+    np.testing.assert_allclose(got, a.T @ np.asarray(x), rtol=1e-4,
+                               atol=1e-4)
