@@ -116,6 +116,23 @@ def main():
             "achievable_fraction_bf16": (t_gather16 + t_stream / 2) / t_p16,
         }
         details["spmm_xla"] = {"seconds": t_x, "edges_per_s": e / t_x}
+
+        # Pallas x partition composition (VERDICT r1 #3): the shard-local
+        # visit-scheduled kernel under shard_map on a 1-device mesh must
+        # not regress vs the unsharded operator (collectives are no-ops).
+        try:
+            from msha_gnn_tpu.parallel import ShardedPallasSpmm, make_mesh
+
+            mesh1 = make_mesh(1, data_axis=1)
+            sop = ShardedPallasSpmm(g, mesh1)
+            t_sh = _timeit(jax.jit(lambda x: sop(x)), x, iters=10)
+            details["spmm_sharded_pallas_1chip"] = {
+                "seconds": t_sh,
+                "edges_per_s": e / t_sh,
+                "vs_unsharded": t_p / t_sh,
+            }
+        except Exception as ex:  # pragma: no cover
+            details["spmm_sharded_pallas_1chip"] = {"error": repr(ex)}
         print(f"spmm done t={time.time()-t_start:.0f}s", file=sys.stderr)
 
         # fused attention (softmax + aggregate) vs separate XLA ops

@@ -6,6 +6,7 @@ from .mesh import (
     row_and_col_sharded,
 )
 from .dist_spmm import DistributedSpmm, RingSpmm
+from .pallas_spmm import ShardedPallasSpmm
 from .partition import balanced_edge_partition, partition_edges_by_src
 from .sharded import (
     make_sharded_linkpred_step,
@@ -22,6 +23,7 @@ __all__ = [
     "row_and_col_sharded",
     "DistributedSpmm",
     "RingSpmm",
+    "ShardedPallasSpmm",
     "partition_edges_by_src",
     "balanced_edge_partition",
     "state_shardings",

@@ -1,0 +1,102 @@
+"""Pallas kernels composed with the edge partition layer (VERDICT r1 #3):
+shard-local visit-scheduled kernels == XLA == single-device, forward and
+both gradients, on the virtual mesh (interpret-mode Pallas on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msha_gnn_tpu.ops import spmm
+from msha_gnn_tpu.parallel import ShardedPallasSpmm, make_mesh
+from tests.conftest import make_random_bipartite
+
+
+@pytest.mark.parametrize("k", [4, 8])
+def test_sharded_pallas_fwd_matches_single(rng, k):
+    g, _ = make_random_bipartite(rng, 300, 200, density=0.05)
+    mesh = make_mesh(k, data_axis=k)
+    op = ShardedPallasSpmm(g, mesh, interpret=True)
+    x = jnp.asarray(rng.standard_normal((200, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(op(x)), np.asarray(spmm(g, x)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sharded_pallas_static_grad_matches_single(rng):
+    g, _ = make_random_bipartite(rng, 260, 140, density=0.06)
+    mesh = make_mesh(8, data_axis=8)
+    op = ShardedPallasSpmm(g, mesh, interpret=True)
+    x = jnp.asarray(rng.standard_normal((140, 8)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((260, 8)).astype(np.float32))
+    gx_d = jax.grad(lambda x: (op(x) * ct).sum())(x)
+    gx_s = jax.grad(lambda x: (spmm(g, x) * ct).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx_d), np.asarray(gx_s),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_pallas_runtime_weights_grads(rng):
+    """Attention-style runtime weights: fwd + d/dx + d/dw all match the
+    single-device weighted SpMM."""
+    g, _ = make_random_bipartite(rng, 220, 160, density=0.06)
+    mesh = make_mesh(8, data_axis=8)
+    op = ShardedPallasSpmm(g, mesh, interpret=True)
+    x = jnp.asarray(rng.standard_normal((160, 8)).astype(np.float32))
+    w = jnp.asarray(rng.random(int(g.num_padded_edges)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((220, 8)).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(op(x, edge_weight=w)),
+        np.asarray(spmm(g, x, edge_weight=w)), rtol=1e-4, atol=1e-4,
+    )
+    gx_d, gw_d = jax.grad(
+        lambda x, w: (op(x, edge_weight=w) * ct).sum(), argnums=(0, 1)
+    )(x, w)
+    gx_s, gw_s = jax.grad(
+        lambda x, w: (spmm(g, x, edge_weight=w) * ct).sum(), argnums=(0, 1)
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(gx_d), np.asarray(gx_s),
+                               rtol=1e-4, atol=1e-4)
+    e = g.num_edges
+    np.testing.assert_allclose(np.asarray(gw_d)[:e], np.asarray(gw_s)[:e],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_pallas_training_trajectory(rng):
+    """Short attention-weighted training loop: sharded-Pallas aggregation
+    == XLA segment-sum aggregation, step for step."""
+    import optax
+
+    from msha_gnn_tpu.ops.segment import segment_softmax
+
+    g, _ = make_random_bipartite(rng, 180, 180, density=0.05)
+    mesh = make_mesh(8, data_axis=8)
+    op = ShardedPallasSpmm(g, mesh, interpret=True)
+    n, d = 180, 8
+    x0 = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((180, d)).astype(np.float32))
+    sd = g.senders
+    mask = g.edge_mask
+
+    def loss(params, aggregate):
+        h = params["x"] @ params["W"]
+        logits = jnp.take(h @ params["a"],
+                          jnp.minimum(g.receivers, 179)) * mask
+        att = segment_softmax(logits, sd, 180, mask=mask)
+        return (aggregate(h, att) * ct).sum()
+
+    def run(aggregate):
+        params = {"x": x0, "W": jnp.eye(d), "a": jnp.ones((d,)) * 0.1}
+        tx = optax.adam(1e-2)
+        opt = tx.init(params)
+        hist = []
+        for _ in range(3):
+            l, grads = jax.value_and_grad(loss)(params, aggregate)
+            updates, opt = tx.update(grads, opt)
+            params = optax.apply_updates(params, updates)
+            hist.append(float(l))
+        return hist
+
+    h_pallas = run(lambda h, att: op(h, edge_weight=att))
+    h_xla = run(lambda h, att: spmm(g, h, edge_weight=att))
+    np.testing.assert_allclose(h_pallas, h_xla, rtol=1e-4, atol=1e-4)
