@@ -67,9 +67,12 @@ def main():
         strict = e_pad * (8 + 4 * d) + n * d * 4
         phase = strict + 2 * e_pad * d * 4
 
-        op = SpmmOperator.build(g)
+        op = SpmmOperator.build(g)  # auto hub-split (H=128 on this graph)
         t_p = _timeit(jax.jit(lambda x: op(x)), x, iters=10)
         t_x = _timeit(jax.jit(lambda x: spmm(g, x)), x, iters=10)
+        # single-path layout (r1 kernel): isolates the hub-split win
+        op_ns = SpmmOperator.build(g, hub_split=0)
+        t_ns = _timeit(jax.jit(lambda x: op_ns(x)), x, iters=10)
         # hardware-grounded bound: the random row gather is access-bound
         # (the TPU gather path, not HBM bandwidth, is the limiter), so the
         # achievable floor = measured gather + streaming floor for the
@@ -101,6 +104,7 @@ def main():
             jax.jit(lambda x: jnp.take(x, recv, axis=0)), x16, iters=10
         )
 
+        hub = op.fwd_split.hub if op.fwd_split is not None else None
         details["spmm_pallas"] = {
             "seconds": t_p, "edges_per_s": e / t_p,
             "seconds_bf16": t_p16, "edges_per_s_bf16": e / t_p16,
@@ -108,10 +112,19 @@ def main():
             "speedup_vs_xla_bf16": t_x / t_p16,
             "roofline_fraction": (phase / bw) / t_p,
             "strict_roofline_fraction": (strict / bw) / t_p,
+            # hub-split (r2): top-H receivers served from a VMEM table —
+            # those edges skip the issue-bound XLA gather AND the (E, d)
+            # HBM intermediate, beating the r1 two-phase floor
+            "hub_size": 0 if hub is None else int(hub.n_hub),
+            "seconds_single_path": t_ns,
+            "hub_split_speedup": t_ns / t_p,
+            "single_path_roofline_fraction": (phase / bw) / t_ns,
             "gather_seconds": t_gather,
             "gather_sequential_seconds": t_gather_seq,
             "gather_rows_per_s": float(recv.shape[0]) / t_gather,
-            "achievable_fraction": (t_gather + t_stream) / t_p,
+            # two-phase (gather-then-reduce) floor, vs the SINGLE-PATH
+            # kernel — the hub-split path is architected past this floor
+            "two_phase_floor_fraction": (t_gather + t_stream) / t_ns,
             "gather_bf16_seconds": t_gather16,
             "achievable_fraction_bf16": (t_gather16 + t_stream / 2) / t_p16,
         }
@@ -161,6 +174,18 @@ def main():
             t_s = _timeit(jax.jit(lambda a, b: sddmm_dot(g, a, b)), a, a,
                           iters=10)
             details["sddmm_xla"] = {"seconds": t_s, "edges_per_s": e / t_s}
+            # uniform-degree graph: the hub cost model must decline and the
+            # single-path layout carries the full load (honesty row — the
+            # hub-split win above is skew-dependent)
+            gu, xu = make_powerlaw_graph(n, n, e, d, seed=2, alpha=0.0)
+            opu = SpmmOperator.build(gu)
+            t_u = _timeit(jax.jit(lambda x: opu(x)), xu, iters=10)
+            details["spmm_pallas_uniform"] = {
+                "seconds": t_u, "edges_per_s": e / t_u,
+                "hub_size": 0 if opu.fwd_split is None
+                else int(opu.fwd_split.hub.n_hub),
+                "roofline_fraction": (phase / bw) / t_u,
+            }
             from msha_gnn_tpu.bench import bench_flagship_size_sweep
 
             details["flagship_size_sweep"] = bench_flagship_size_sweep()

@@ -1,10 +1,21 @@
-"""Pallas TPU SpMM: sorted-segment reduction via weighted one-hot MXU matmuls.
+"""Pallas TPU SpMM: sorted-segment reduction via one-hot MXU matmuls.
 
 Where the time goes (measured on v5e, 2M edges, d=128, fp32):
 
-* random row gather ``x[receivers]`` — XLA's hardware gather path reaches
-  ~40% of HBM peak (~6.5 ms); a hand-rolled per-edge DMA or one-hot gather
-  over HBM-resident tables is strictly worse, so the gather stays on XLA.
+* random row gather ``x[receivers]`` — XLA's hardware gather path is
+  *issue-bound* at ~3 ns/row regardless of index order or dtype
+  (scripts_gather_probe.py: a sequential-index gather runs at the same
+  speed as a random one); a hand-rolled per-edge DMA or one-hot gather
+  over HBM-resident tables is strictly worse.  Two consequences drive the
+  design: (a) cold edges keep the XLA gather — it IS the floor for them;
+  (b) the only winning move is gathering FEWER rows, which the static
+  hub-split path does (see the section marker below): edges whose
+  receiver is one of the top-H highest-degree rows are served from a
+  VMEM-resident [H, d] table composed on the MXU, skipping both the
+  gather and the (E, d) HBM intermediate.  On the skewed 2M-edge bench
+  graph (top-128 receivers = 93% of edges) this takes the static SpMM
+  from 9.0 ms to 5.6 ms (0.69 of the two-phase HBM roofline; the r1
+  single-path layout measured 0.43).
 * the sorted segment reduction — XLA lowers it to scatter-add at ~19.6 ms.
   **This kernel replaces it** (~5.5 ms incl. the edge-weight multiply):
   edges are CSR-sorted, so each 128-row output block owns a contiguous
@@ -27,9 +38,10 @@ Self-masking: an edge belonging to a different row block produces a local
 row id outside [0, 128) and a zero one-hot column, so boundary chunks and
 pad edges (sender sentinel) need no explicit masking.
 
-Precision: the weighted one-hot is not exactly representable in bf16, so
-both operands are split hi/lo and the lo·lo term dropped — 3 bf16 MXU
-passes for ~5e-6 relative error (``precision='bf16'`` does 1 pass at
+Precision: the edge weight is applied as a VPU column pre-scale of the
+chunk's values, so the one-hot itself is binary (exact in bf16) and the
+f32 path needs only 2 bf16 MXU passes (hi/lo split of the weighted
+values) for ~5e-6 relative error (``precision='bf16'`` does 1 pass at
 ~2^-8).
 
 Replaces the reference's dense aggregation matmuls (``train.py:112-114``,
@@ -224,15 +236,17 @@ def _gather_rows(x, idx, n):
 # ---------------------------------------------------------------------------
 
 
-def _visit_kernel(bid_ref, cs_ref, first_ref, last_ref, senders_ref, w_ref,
-                  vals_ref, out_ref):
+def _visit_kernel(bid_ref, cs_ref, first_ref, last_ref, senders_ref,
+                  w_col_ref, vals_ref, out_ref):
     """Weighted visit reduce: ``out[s] += w[e] * v[e]`` over chunk cs[k].
 
-    The edge weight rides inside the one-hot (``where(sel, w, 0)``): the
-    MXU applies it during the scatter matmul, so no separate elementwise
-    pass over the (E, d) gathered array exists in HBM (~3.5 ms saved at
-    2M edges, d=128).  Invalid and foreign edges self-mask via their
-    out-of-range local row id.
+    The edge weight is applied as a VPU column pre-scale of the chunk's
+    values (``v * w[:, None]``); the one-hot is then *binary* and exact in
+    bf16, so the f32 path needs only **two** MXU passes (hi/lo split of
+    the weighted values, ~2^-16 relative error) instead of the three a
+    weighted one-hot needs.  No separate elementwise pass over the (E, d)
+    gathered array exists in HBM either way.  Invalid and foreign edges
+    self-mask via their out-of-range local row id.
     """
     k = pl.program_id(0)
 
@@ -241,26 +255,22 @@ def _visit_kernel(bid_ref, cs_ref, first_ref, last_ref, senders_ref, w_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     row0 = bid_ref[k] * ROW_BLK
+    e_chunk = senders_ref.shape[1]
     local = senders_ref[:] - row0  # [1, E_CHUNK]
-    rows = jax.lax.broadcasted_iota(
-        jnp.int32, (ROW_BLK, senders_ref.shape[1]), 0
-    )
-    sel = rows == local
-    w = w_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLK, e_chunk), 0)
+    oh = (rows == local).astype(jnp.bfloat16)
+    w_col = w_col_ref[:]  # [E_CHUNK, 1] f32
     v = vals_ref[:]
     if v.dtype == jnp.bfloat16:
-        oh = jnp.where(sel, w, 0.0).astype(jnp.bfloat16)
-        out_ref[:] += jnp.dot(oh, v, preferred_element_type=jnp.float32)
+        v_w = (v * w_col).astype(jnp.bfloat16)
+        out_ref[:] += jnp.dot(oh, v_w, preferred_element_type=jnp.float32)
     else:
-        oh = jnp.where(sel, w, 0.0)
-        oh_hi = oh.astype(jnp.bfloat16)
-        oh_lo = (oh - oh_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        v_hi = v.astype(jnp.bfloat16)
-        v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        v_w = v * w_col
+        v_hi = v_w.astype(jnp.bfloat16)
+        v_lo = (v_w - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         out_ref[:] += (
-            jnp.dot(oh_hi, v_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(oh_hi, v_lo, preferred_element_type=jnp.float32)
-            + jnp.dot(oh_lo, v_hi, preferred_element_type=jnp.float32)
+            jnp.dot(oh, v_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(oh, v_lo, preferred_element_type=jnp.float32)
         )
 
 
@@ -417,6 +427,7 @@ def _visit_reduce_raw(vals, w, senders, bid, cs, first, last, n_rows,
     pieces as explicit arguments so callers can jit over them."""
     e_ch, d_pad = vals.shape
     n_pad = _round_up(max(n_rows, ROW_BLK), ROW_BLK)
+    passes = 1 if vals.dtype == jnp.bfloat16 else 2
     out = pl.pallas_call(
         _visit_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -426,8 +437,8 @@ def _visit_reduce_raw(vals, w, senders, bid, cs, first, last, n_rows,
                 pl.BlockSpec((1, E_CHUNK),
                              lambda k, bid, cs, first, last: (0, cs[k]),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, E_CHUNK),
-                             lambda k, bid, cs, first, last: (0, cs[k]),
+                pl.BlockSpec((E_CHUNK, 1),
+                             lambda k, bid, cs, first, last: (cs[k], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((E_CHUNK, d_pad),
                              lambda k, bid, cs, first, last: (cs[k], 0),
@@ -441,14 +452,14 @@ def _visit_reduce_raw(vals, w, senders, bid, cs, first, last, n_rows,
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_ch * ROW_BLK * d_pad,
+            flops=2 * passes * e_ch * ROW_BLK * d_pad,
             bytes_accessed=e_ch * (vals.dtype.itemsize * d_pad + 8)
             + n_pad * d_pad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(bid, cs, first, last, senders.reshape(1, e_ch),
-      w.reshape(1, e_ch), vals)
+      w.reshape(e_ch, 1), vals)
     return out[:n_rows]
 
 
@@ -475,6 +486,274 @@ def _direction_apply(d: _Direction, x, w_ord, interpret: bool,
         gathered = jnp.pad(gathered, ((0, 0), (0, d_pad - d_feat)))
     out = _visit_reduce(gathered, w_ord, d, interpret)
     return out[:, :d_feat]
+
+
+# ---------------------------------------------------------------------------
+# Hub-split static path (VERDICT r1 #2: attack the gather).
+#
+# The XLA row gather is *issue-bound* (~3 ns/row on v5e regardless of index
+# order or dtype — scripts_gather_probe.py: a sequential-index gather runs
+# at the same speed as a random one), so the only lever left is gathering
+# FEWER rows.  Real flow graphs and the power-law bench graphs are heavily
+# skewed: the top-128 receivers of the 2M-edge zipf(1.5) bench graph carry
+# 93% of the edges.  Edges whose receiver is one of the top-H "hub" rows
+# skip the XLA gather *and* the (E, d) HBM intermediate entirely: the hub
+# rows live in VMEM as an [H, d] table (one tiny H-row gather per call),
+# and each visit composes
+#
+#     out_blk += where(sel_sender, w, 0) @ onehot(hubpos) @ table
+#
+# left-to-right on the MXU: the [ROW_BLK, E_CHUNK] x [E_CHUNK, H] compose
+# costs the same as one scatter pass (H = 128), the [ROW_BLK, H] @ [H, d]
+# projection is negligible.  Only the cold (non-hub) edges pay the
+# gather + stream path.  The split is static (host-side, from the graph's
+# degree histogram) and applies to the static-weight operators (GCN-style
+# propagation); runtime-weight paths would pay two O(E) scalar permutes
+# that cost more than the split saves, so they keep the single-path layout.
+# ---------------------------------------------------------------------------
+
+HUB_CANDIDATES = (128, 256, 512)
+_GATHER_NS = 3.0e-9      # measured v5e issue rate (scripts_gather_probe.py)
+_STREAM_BW = 4.7e11      # measured v5e streaming copy rate
+_MXU_EFF = 6.5e13        # effective bf16 one-hot matmul rate
+
+
+@dataclasses.dataclass(frozen=True)
+class _HubPart:
+    """Hub-edge arrays + visit schedule (values come from the hub table)."""
+
+    senders: Array   # [E_ch] int32 output row per edge (pad -> n_pad)
+    hubpos: Array    # [E_ch] int32 rank in hub_ids (pad -> n_hub)
+    w: Array         # [E_ch] f32 static weights (pad -> 0)
+    hub_ids: Array   # [n_hub] int32 receiver ids (the gather index)
+    bid: Array       # [C] int32
+    cs: Array        # [C] int32
+    first: Array     # [C] int32
+    n_hub: int
+    n_rows: int
+    e_ch: int
+
+
+@dataclasses.dataclass(frozen=True)
+class _HubSplit:
+    cold: Optional[_Direction]
+    hub: Optional[_HubPart]
+    n_rows: int
+
+
+def _hub_kernel(bid_ref, cs_ref, first_ref, senders_ref, w_ref, hubpos_ref,
+                table_ref, out_ref):
+    """out_blk += (where(sel, w, 0) @ onehot(hubpos)) @ table for one visit.
+
+    ``onehot(hubpos)`` is binary (exact bf16); the weighted scatter matrix
+    is split hi/lo (2 compose passes), the [ROW_BLK, H] coefficient matrix
+    and the f32 table are split hi/lo with the lo*lo term dropped (3 cheap
+    projection passes) — ~2^-16 relative error end to end.  Foreign/pad
+    edges self-mask via sender row id and zero weight.
+    """
+    k = pl.program_id(0)
+
+    @pl.when(first_ref[k] != 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    row0 = bid_ref[k] * ROW_BLK
+    e_chunk = senders_ref.shape[1]
+    n_hub = table_ref.shape[0]
+    local = senders_ref[:] - row0  # [1, E_CHUNK]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLK, e_chunk), 0)
+    scat = jnp.where(rows == local, w_ref[:], 0.0)  # [ROW_BLK, E_CHUNK]
+    scat_hi = scat.astype(jnp.bfloat16)
+    scat_lo = (scat - scat_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hub_cols = jax.lax.broadcasted_iota(jnp.int32, (e_chunk, n_hub), 1)
+    eoh = (hub_cols == hubpos_ref[:]).astype(jnp.bfloat16)  # [E_CHUNK, H]
+    coef = jnp.dot(scat_hi, eoh, preferred_element_type=jnp.float32)
+    coef += jnp.dot(scat_lo, eoh, preferred_element_type=jnp.float32)
+    t = table_ref[:]
+    t_hi = t.astype(jnp.bfloat16)
+    t_lo = (t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    c_hi = coef.astype(jnp.bfloat16)
+    c_lo = (coef - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out_ref[:] += (
+        jnp.dot(c_hi, t_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(c_hi, t_lo, preferred_element_type=jnp.float32)
+        + jnp.dot(c_lo, t_hi, preferred_element_type=jnp.float32)
+    )
+
+
+def _hub_visit_reduce(table, part: _HubPart, interpret: bool):
+    """[n_pad, d_pad] hub-edge aggregate; ``table``: [n_hub, d_pad] f32."""
+    n_hub, d_pad = table.shape
+    e_ch = part.e_ch
+    n_pad = _round_up(max(part.n_rows, ROW_BLK), ROW_BLK)
+    visits = int(part.bid.shape[0])
+    out = pl.pallas_call(
+        _hub_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(visits,),
+            in_specs=[
+                pl.BlockSpec((1, E_CHUNK),
+                             lambda k, bid, cs, first: (0, cs[k]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, E_CHUNK),
+                             lambda k, bid, cs, first: (0, cs[k]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E_CHUNK, 1),
+                             lambda k, bid, cs, first: (cs[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_hub, d_pad),
+                             lambda k, bid, cs, first: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (ROW_BLK, d_pad),
+                lambda k, bid, cs, first: (bid[k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=visits * (4 * ROW_BLK * E_CHUNK * n_hub
+                            + 6 * ROW_BLK * n_hub * d_pad),
+            bytes_accessed=e_ch * 12 + n_hub * d_pad * 4
+            + n_pad * d_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(part.bid, part.cs, part.first, part.senders.reshape(1, e_ch),
+      part.w.reshape(1, e_ch), part.hubpos.reshape(e_ch, 1), table)
+    return out
+
+
+def _plan_hub_size(deg: np.ndarray, e_real: int, n_rows: int,
+                   d_nominal: int = 128) -> int:
+    """Pick the hub-table size minimising the modelled static-SpMM time.
+
+    Returns 0 when the split is not worth it (e.g. uniform degree graphs,
+    where the top-H coverage never recovers the extra compose passes).
+    """
+    n_blocks = _round_up(max(n_rows, ROW_BLK), ROW_BLK) // ROW_BLK
+    top = np.sort(deg)[::-1]
+    csum = np.cumsum(top)
+
+    def cold_time(ec):
+        visits = -(-ec // E_CHUNK) + n_blocks
+        return (_GATHER_NS * ec
+                + 2 * ec * d_nominal * 4 / _STREAM_BW
+                + visits * 4 * ROW_BLK * E_CHUNK * d_nominal / _MXU_EFF)
+
+    def hub_time(eh, h):
+        if eh == 0:
+            return 0.0
+        visits = -(-eh // E_CHUNK) + n_blocks
+        return (visits * (4 * ROW_BLK * E_CHUNK * h
+                          + 6 * ROW_BLK * h * d_nominal) / _MXU_EFF
+                + eh * 12 / _STREAM_BW)
+
+    best_h, best_t = 0, cold_time(e_real)
+    for h in HUB_CANDIDATES:
+        heff = min(h, len(top))
+        e_hub = int(csum[heff - 1]) if heff else 0
+        e_cold = e_real - e_hub
+        t = hub_time(e_hub, h) + (cold_time(e_cold) if e_cold else 0.0)
+        if e_cold and e_hub:
+            t += 2 * 3 * n_rows * d_nominal * 4 / _STREAM_BW  # output add
+        if t < best_t * 0.9:  # require a >=10% modelled win
+            best_h, best_t = h, t
+    return best_h
+
+
+def _make_hub_split(senders_np, receivers_np, w_np, n_rows, n_cols,
+                    force_hub: Optional[int] = None) -> Optional[_HubSplit]:
+    """Host-side static split of real edges into hub and cold parts.
+
+    ``force_hub``: test knob — a concrete H bypasses the cost model.
+    Edge arrays must be sender-sorted real edges (no pads); both parts
+    inherit the sort, so each gets a valid visit schedule.
+    """
+    e = len(senders_np)
+    if e == 0:
+        return None
+    s = np.asarray(senders_np, np.int64)
+    r = np.asarray(receivers_np, np.int64)
+    w = np.asarray(w_np, np.float32)
+    deg = np.bincount(r, minlength=n_cols)
+    h = force_hub if force_hub is not None else _plan_hub_size(
+        deg, e, n_rows)
+    if h == 0:
+        return None
+    n_pad = _round_up(max(n_rows, ROW_BLK), ROW_BLK)
+    order = np.argsort(deg)[::-1]
+    heff = min(h, n_cols)
+    hub_ids = np.zeros(h, np.int64)
+    hub_ids[:heff] = order[:heff]
+    rank = np.full(n_cols, -1, np.int64)
+    rank[hub_ids[:heff]] = np.arange(heff)
+    pos = rank[r]
+    is_hub = pos >= 0
+
+    def _ptr(part_s):
+        cnt = np.bincount(part_s, minlength=n_rows)
+        return np.concatenate([[0], np.cumsum(cnt)])
+
+    cold = None
+    if not is_hub.all():
+        m = ~is_hub
+        cold = _make_direction(s[m], r[m], w[m], _ptr(s[m]), n_rows, n_cols)
+
+    hub = None
+    if is_hub.any():
+        hs, hp, hw = s[is_hub], pos[is_hub], w[is_hub]
+        e_hub = len(hs)
+        e_ch = _round_up(max(e_hub, E_CHUNK), E_CHUNK)
+        pad = e_ch - e_hub
+        bid, cs, first, _ = _chunk_schedule(_ptr(hs), n_rows,
+                                            e_ch // E_CHUNK)
+        hub = _HubPart(
+            senders=np.pad(hs, (0, pad),
+                           constant_values=n_pad).astype(np.int32),
+            hubpos=np.pad(hp, (0, pad), constant_values=h).astype(np.int32),
+            w=np.pad(hw, (0, pad)).astype(np.float32),
+            hub_ids=hub_ids.astype(np.int32),
+            bid=bid, cs=cs, first=first,
+            n_hub=int(h), n_rows=int(n_rows), e_ch=int(e_ch),
+        )
+        if _trace_state_clean():
+            hub = dataclasses.replace(
+                hub,
+                senders=jnp.asarray(hub.senders),
+                hubpos=jnp.asarray(hub.hubpos),
+                w=jnp.asarray(hub.w),
+                hub_ids=jnp.asarray(hub.hub_ids),
+                bid=jnp.asarray(hub.bid),
+                cs=jnp.asarray(hub.cs),
+                first=jnp.asarray(hub.first),
+            )
+    return _HubSplit(cold=cold, hub=hub, n_rows=int(n_rows))
+
+
+def _apply_static_dir(dir_full: _Direction, split: Optional[_HubSplit], x,
+                      interpret: bool, precision: str = "f32"):
+    """Static-weight ``A_dir @ x``: hub-split when available, else the
+    single-path visit reduce."""
+    if split is None:
+        return _direction_apply(dir_full, x, dir_full.w_static, interpret,
+                                precision)
+    d_feat = x.shape[1]
+    d_pad = _round_up(d_feat, LANE)
+    out = None
+    if split.hub is not None:
+        table = jnp.take(x, split.hub.hub_ids, axis=0).astype(jnp.float32)
+        if d_pad != d_feat:
+            table = jnp.pad(table, ((0, 0), (0, d_pad - d_feat)))
+        out = _hub_visit_reduce(table, split.hub, interpret)[
+            : split.n_rows, :d_feat]
+    if split.cold is not None:
+        cold_out = _direction_apply(split.cold, x, split.cold.w_static,
+                                    interpret, precision)
+        out = cold_out if out is None else out + cold_out
+    return out
 
 
 def _sddmm_kernel(bid_ref, cs_ref, cfirst_ref, senders_ref, src_ref,
@@ -576,7 +855,9 @@ class SpmmOperator:
     """
 
     def __init__(self, graph: BipartiteGraph, interpret: Optional[bool] = None,
-                 precision: str = "f32"):
+                 precision: str = "f32", hub_split: Optional[int] = None):
+        """``hub_split``: None = auto (degree-histogram cost model),
+        0 = disable, positive = force that hub-table size."""
         self.graph = graph
         self.precision = precision
         self.interpret = (
@@ -612,7 +893,23 @@ class SpmmOperator:
             perm_np=csc_to_csr,
         )
 
+        # hub-split plans for the static-weight paths (None when the
+        # degree histogram says the split doesn't pay, e.g. uniform graphs)
+        if hub_split == 0:
+            self.fwd_split = None
+            self.bwd_split = None
+        else:
+            self.fwd_split = _make_hub_split(
+                s[:e], r[:e], w[:e], graph.n_src, graph.n_dst,
+                force_hub=hub_split,
+            )
+            self.bwd_split = _make_hub_split(
+                csc_s[:e], csc_r[:e], csc_w[:e], graph.n_dst, graph.n_src,
+                force_hub=hub_split,
+            )
+
         fwd_dir, bwd_dir, interp = self.fwd_dir, self.bwd_dir, self.interpret
+        fwd_split, bwd_split = self.fwd_split, self.bwd_split
         prec = precision
 
         @jax.custom_vjp
@@ -659,38 +956,34 @@ class SpmmOperator:
         # never pays the runtime CSC permutation, and no dw is computed
         @jax.custom_vjp
         def apply_static(x):
-            return _direction_apply(fwd_dir, x, fwd_dir.w_static, interp,
-                                    prec)
+            return _apply_static_dir(fwd_dir, fwd_split, x, interp, prec)
 
         def apply_static_fwd(x):
             return apply_static(x), None
 
         def apply_static_bwd(_, g):
-            return (_direction_apply(bwd_dir, g, bwd_dir.w_static, interp,
-                                     prec),)
+            return (_apply_static_dir(bwd_dir, bwd_split, g, interp, prec),)
 
         apply_static.defvjp(apply_static_fwd, apply_static_bwd)
         self._apply_static = apply_static
 
         @jax.custom_vjp
         def apply_t_static(x):
-            return _direction_apply(bwd_dir, x, bwd_dir.w_static, interp,
-                                    prec)
+            return _apply_static_dir(bwd_dir, bwd_split, x, interp, prec)
 
         def apply_t_static_fwd(x):
             return apply_t_static(x), None
 
         def apply_t_static_bwd(_, g):
-            return (_direction_apply(fwd_dir, g, fwd_dir.w_static, interp,
-                                     prec),)
+            return (_apply_static_dir(fwd_dir, fwd_split, g, interp, prec),)
 
         apply_t_static.defvjp(apply_t_static_fwd, apply_t_static_bwd)
         self._apply_t_static = apply_t_static
 
     @staticmethod
     def build(graph: BipartiteGraph, interpret: Optional[bool] = None,
-              precision: str = "f32"):
-        return SpmmOperator(graph, interpret, precision)
+              precision: str = "f32", hub_split: Optional[int] = None):
+        return SpmmOperator(graph, interpret, precision, hub_split)
 
     def __call__(self, x: Array, *, edge_weight: Optional[Array] = None,
                  transpose: bool = False) -> Array:

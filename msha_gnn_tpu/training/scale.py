@@ -151,11 +151,15 @@ def train_chunked(senders, receivers, n_nodes: int,
     if num_slices is None:
         # bound the per-slice [E_slice, d] intermediates to ~512 MB
         num_slices = max(1, int(np.ceil(e * cfg.d * 4 / (512 * 2**20))))
+    t0 = time.perf_counter()
     op = ChunkedSpmm.from_host_coo(s, r, None, n_src=n_nodes,
                                    n_dst=n_nodes, num_slices=num_slices,
                                    interpret=interpret, assume_sorted=True)
     senders_dev = jnp.asarray(s)
     receivers_dev = jnp.asarray(r)
+    if log:
+        log({"event": "layout", "num_slices": num_slices,
+             "seconds": round(time.perf_counter() - t0, 1)})
 
     def aggregate(h, att):
         return op.apply(h, att)

@@ -185,9 +185,11 @@ def test_visit_schedule_trailing_empty_blocks(rng):
 
 def test_spmm_runtime_weights_match_static(rng):
     """edge_weight equal to the graph weights must reproduce the static
-    fast path bit-for-bit apart from kernel precision."""
+    fast path bit-for-bit apart from kernel precision (hub split disabled
+    so both paths run the identical visit kernel; the hub path's own
+    accuracy is covered by test_spmm_hub_split_*)."""
     g, dense = make_random_bipartite(rng, 300, 120, density=0.05)
-    op = SpmmOperator.build(g, interpret=True)
+    op = SpmmOperator.build(g, interpret=True, hub_split=0)
     x = jnp.asarray(rng.standard_normal((120, 16)).astype(np.float32))
     a = np.asarray(op(x))
     b = np.asarray(op(x, edge_weight=g.weight))
@@ -331,3 +333,82 @@ def test_chunked_spmm_transpose_runtime_weights(rng):
     np.add.at(a, (s_o, r_o), np.asarray(w))
     np.testing.assert_allclose(got, a.T @ np.asarray(x), rtol=1e-4,
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Hub-split static path (VERDICT r1 #2): skewed receivers served from a
+# VMEM-resident hub table instead of the XLA row gather.
+# ---------------------------------------------------------------------------
+
+def _skewed_graph(rng, n_src=400, n_dst=300, e=5000, alpha=1.3):
+    p = 1.0 / np.arange(1, n_dst + 1) ** alpha
+    p /= p.sum()
+    src = rng.integers(0, n_src, e)
+    dst = rng.choice(n_dst, e, p=p)
+    w = rng.standard_normal(e).astype(np.float32)
+    g = BipartiteGraph.from_coo(src, dst, w, n_src=n_src, n_dst=n_dst,
+                                combine_duplicates=False)
+    dense = np.zeros((n_src, n_dst), np.float32)
+    np.add.at(dense, (src, dst), w)
+    return g, dense
+
+
+@pytest.mark.parametrize("hub", [128, 256])
+def test_spmm_hub_split_matches_dense(rng, hub):
+    g, dense = _skewed_graph(rng)
+    op = SpmmOperator.build(g, interpret=True, hub_split=hub)
+    assert op.fwd_split is not None and op.fwd_split.hub is not None
+    assert op.fwd_split.hub.n_hub == hub
+    x = jnp.asarray(rng.standard_normal((g.n_dst, 24)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(op(x)), dense @ np.asarray(x),
+                               rtol=2e-2, atol=2e-2)
+    xt = jnp.asarray(rng.standard_normal((g.n_src, 24)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(op(xt, transpose=True)), dense.T @ np.asarray(xt),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_spmm_hub_split_gradients(rng):
+    g, dense = _skewed_graph(rng, e=3000)
+    op = SpmmOperator.build(g, interpret=True, hub_split=128)
+    x = jnp.asarray(rng.standard_normal((g.n_dst, 16)).astype(np.float32))
+    got = jax.grad(lambda x: jnp.sum(op(x) ** 2))(x)
+    want = dense.T @ (2 * (dense @ np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-2)
+    xt = jnp.asarray(rng.standard_normal((g.n_src, 16)).astype(np.float32))
+    got_t = jax.grad(lambda x: jnp.sum(op(x, transpose=True) ** 2))(xt)
+    want_t = dense @ (2 * (dense.T @ np.asarray(xt)))
+    np.testing.assert_allclose(np.asarray(got_t), want_t, rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_spmm_hub_split_all_hub_when_few_receivers(rng):
+    """n_dst below the hub-table size -> zero cold edges, no XLA gather."""
+    n_src, n_dst, e = 500, 8, 4000
+    src = rng.integers(0, n_src, e)
+    dst = rng.integers(0, n_dst, e)
+    w = rng.standard_normal(e).astype(np.float32)
+    g = BipartiteGraph.from_coo(src, dst, w, n_src=n_src, n_dst=n_dst,
+                                combine_duplicates=False)
+    op = SpmmOperator.build(g, interpret=True)
+    assert op.fwd_split is not None
+    assert op.fwd_split.cold is None  # every receiver is a hub
+    dense = np.zeros((n_src, n_dst), np.float32)
+    np.add.at(dense, (src, dst), w)
+    x = jnp.asarray(rng.standard_normal((n_dst, 16)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(op(x)), dense @ np.asarray(x),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_spmm_hub_split_auto_disabled_on_uniform_large(rng):
+    """Uniform degree over many receivers: the cost model must decline."""
+    n_src = n_dst = 5000
+    e = 20000
+    src = rng.integers(0, n_src, e)
+    dst = rng.integers(0, n_dst, e)
+    g = BipartiteGraph.from_coo(src, dst, np.ones(e, np.float32),
+                                n_src=n_src, n_dst=n_dst,
+                                combine_duplicates=False)
+    op = SpmmOperator.build(g, interpret=True)
+    assert op.fwd_split is None
