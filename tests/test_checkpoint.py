@@ -14,6 +14,7 @@ from msha_gnn_tpu.training.checkpoint import (
 from tests.test_training import make_tiny_flow
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(rng, tmp_path):
     fg, src, dst = make_tiny_flow(rng)
     task, variables, _ = msha_task(fg, in_features=8, out_features=4, lr=0.01)

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 
 from msha_gnn_tpu.explain import clique_members, extract_attention
 from msha_gnn_tpu.graph import Grouping
+import pytest
 
 
 def test_clique_members(rng):
@@ -80,6 +81,7 @@ def test_npz_round_trip_reconstructs_reference_argmax_sets(rng, tmp_path):
     assert r_h0[gid_c == gid_c[0]].max() == cw[0, 0]
 
 
+@pytest.mark.slow
 def test_run_explain_end_to_end_multihead(tmp_path):
     """run_explain on the real 2015 data (1 short epoch): all heads land in
     the npz and the JSON exposes per-head top recipients."""

@@ -47,6 +47,7 @@ def test_partition_invariance_transpose_spmm(rng):
     np.testing.assert_allclose(acc, full, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_msha_step_runs(rng):
     """Full MSHA train step under a (4, 2) data x model mesh executes and
     produces a finite loss."""

@@ -98,6 +98,7 @@ def test_sparse_ops_fuzz_vs_dense_oracle(trial):
     assert _rel_to_scale(gx, want_gx) < 1e-5
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("trial", range(4))
 def test_pallas_operators_fuzz_vs_dense_oracle(trial):
     """SpmmOperator / FlashGATOperator (interpret mode) on random skewed

@@ -15,6 +15,7 @@ def test_initialize_single_host():
     assert idx == 0 and cnt == 1
 
 
+@pytest.mark.slow
 def test_fault_tolerant_fit_resumes(rng, tmp_path):
     fg, src, dst = make_tiny_flow(rng)
     task, variables, _ = msha_task(fg, in_features=8, out_features=4, lr=0.01)

@@ -3,8 +3,10 @@
 import numpy as np
 
 from msha_gnn_tpu.bench import bench_scaling
+import pytest
 
 
+@pytest.mark.slow
 def test_bench_scaling_runs_on_virtual_mesh():
     results = bench_scaling(
         n=256, records=1024, batch_size=64, device_counts=(1, 8), iters=2,

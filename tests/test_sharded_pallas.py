@@ -35,6 +35,7 @@ def test_sharded_pallas_static_grad_matches_single(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_runtime_weights_grads(rng):
     """Attention-style runtime weights: fwd + d/dx + d/dw all match the
     single-device weighted SpMM."""
@@ -62,6 +63,7 @@ def test_sharded_pallas_runtime_weights_grads(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_training_trajectory(rng):
     """Short attention-weighted training loop: sharded-Pallas aggregation
     == XLA segment-sum aggregation, step for step."""

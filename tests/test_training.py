@@ -77,6 +77,7 @@ def test_model_trains_and_loss_decreases(rng, builder, kwargs):
     assert 0.0 <= report["auc"] <= 1.0
 
 
+@pytest.mark.slow
 def test_trainer_padding_last_batch(rng):
     """Record count not divisible by batch size -> padded batch masked out."""
     fg, src, dst = make_tiny_flow(rng, records=130)
@@ -90,6 +91,7 @@ def test_trainer_padding_last_batch(rng):
     assert np.isfinite(rep["loss"])
 
 
+@pytest.mark.slow
 def test_temporal_msha_joint_training(rng):
     """Config #3 joint multi-year loop: shared head/recipient params,
     per-year source features, recipient alignment by name, skip-empty-year."""
