@@ -252,6 +252,21 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP model server from a checkpoint (the deployment counterpart to
+    ``predict``; see ``server.py``)."""
+    from .server import run_serve
+    from .utils import TrainConfig
+
+    cfg = _config_from_args(TrainConfig, args)
+    if not cfg.checkpoint_dir:
+        print("serve requires --checkpoint_dir", file=sys.stderr)
+        return 2
+    run_serve(cfg, host=args.host, port=args.port,
+              batch_size=args.predict_batch)
+    return 0
+
+
 def cmd_explain(args) -> int:
     from .explain import run_explain
 
@@ -328,6 +343,15 @@ def main(argv=None) -> int:
                         help="JSONL path (default stdout)")
     p_pred.add_argument("--predict_batch", type=int, default=1024)
     p_pred.set_defaults(fn=cmd_predict)
+
+    p_srv = sub.add_parser(
+        "serve", help="HTTP model server from a checkpoint"
+    )
+    _add_dataclass_args(p_srv, TrainConfig)
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8000)
+    p_srv.add_argument("--predict_batch", type=int, default=1024)
+    p_srv.set_defaults(fn=cmd_serve)
 
     p_exp = sub.add_parser("explain", help="attention top-K extraction")
     p_exp.add_argument("--year", default="2015")
