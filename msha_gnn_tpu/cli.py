@@ -252,6 +252,23 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Serialize a checkpoint's scoring function as a self-contained
+    StableHLO artifact (``export.py``) for python-free serving infra."""
+    from .export import run_export
+    from .utils import TrainConfig
+
+    cfg = _config_from_args(TrainConfig, args)
+    if not cfg.checkpoint_dir:
+        print("export requires --checkpoint_dir", file=sys.stderr)
+        return 2
+    summary = run_export(cfg, output=args.output, kind=args.kind,
+                         batch_size=args.predict_batch,
+                         portable=bool(args.portable))
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """HTTP model server from a checkpoint (the deployment counterpart to
     ``predict``; see ``server.py``)."""
@@ -343,6 +360,18 @@ def main(argv=None) -> int:
                         help="JSONL path (default stdout)")
     p_pred.add_argument("--predict_batch", type=int, default=1024)
     p_pred.set_defaults(fn=cmd_predict)
+
+    p_xp = sub.add_parser(
+        "export", help="AOT StableHLO scorer artifact from a checkpoint"
+    )
+    _add_dataclass_args(p_xp, TrainConfig)
+    p_xp.add_argument("--output", default="scorer.mshax")
+    p_xp.add_argument("--kind", default="auto",
+                      choices=["auto", "table", "batch"])
+    p_xp.add_argument("--predict_batch", type=int, default=1024)
+    p_xp.add_argument("--portable", type=int, default=0,
+                      help="1: lower for both cpu and tpu")
+    p_xp.set_defaults(fn=cmd_export)
 
     p_srv = sub.add_parser(
         "serve", help="HTTP model server from a checkpoint"
