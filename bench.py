@@ -168,12 +168,32 @@ def main():
         }
         print(f"flash done t={time.time()-t_start:.0f}s", file=sys.stderr)
 
+        # SDDMM roofline (BASELINE names BOTH kernels in the >=60% target).
+        # Traffic floor mirrors the SpMM strict/two-phase accounting:
+        # strict = per-edge receiver row + sender id + logit write, plus one
+        # pass over h_src; phase adds the gathered (E, d) HBM round trip.
+        from msha_gnn_tpu.ops.pallas import SddmmOperator
+
+        rng_s = np.random.default_rng(3)
+        h_src = jnp.asarray(rng_s.standard_normal((n, d)), jnp.float32)
+        dop = SddmmOperator.build(g, spmm=op)
+        t_sd = _timeit(jax.jit(lambda a, b: dop(a, b)), h_src, x, iters=10)
+        t_sd_x = _timeit(jax.jit(lambda a, b: sddmm_dot(g, a, b)), h_src, x,
+                         iters=10)
+        strict_sd = e_pad * (4 * d + 8) + n * d * 4
+        phase_sd = strict_sd + 2 * e_pad * d * 4
+        details["sddmm_pallas"] = {
+            "seconds": t_sd, "edges_per_s": e / t_sd,
+            "speedup_vs_xla": t_sd_x / t_sd,
+            "roofline_fraction": (phase_sd / bw) / t_sd,
+            "strict_roofline_fraction": (strict_sd / bw) / t_sd,
+            "two_phase_floor_fraction": (t_gather + e_pad * (4 * d + 4) / bw)
+                                        / t_sd,
+        }
+        details["sddmm_xla"] = {"seconds": t_sd_x, "edges_per_s": e / t_sd_x}
+        print(f"sddmm done t={time.time()-t_start:.0f}s", file=sys.stderr)
+
         if os.environ.get("BENCH_FULL"):
-            rng = np.random.default_rng(1)
-            a = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
-            t_s = _timeit(jax.jit(lambda a, b: sddmm_dot(g, a, b)), a, a,
-                          iters=10)
-            details["sddmm_xla"] = {"seconds": t_s, "edges_per_s": e / t_s}
             # uniform-degree graph: the hub cost model must decline and the
             # single-path layout carries the full load (honesty row — the
             # hub-split win above is skew-dependent)
