@@ -583,10 +583,20 @@ def _hub_kernel(bid_ref, cs_ref, first_ref, senders_ref, w_ref, hubpos_ref,
 
 def _hub_visit_reduce(table, part: _HubPart, interpret: bool):
     """[n_pad, d_pad] hub-edge aggregate; ``table``: [n_hub, d_pad] f32."""
+    return _hub_reduce_raw(table, part.senders, part.w, part.hubpos,
+                           part.bid, part.cs, part.first, part.n_rows,
+                           interpret)
+
+
+def _hub_reduce_raw(table, senders, w, hubpos, bid, cs, first, n_rows,
+                    interpret: bool):
+    """Array-level hub-reduce entry (shared with the sharded partition
+    layer): all edge arrays and schedule pieces as explicit arguments so
+    callers can pass per-shard slices inside ``shard_map``."""
     n_hub, d_pad = table.shape
-    e_ch = part.e_ch
-    n_pad = _round_up(max(part.n_rows, ROW_BLK), ROW_BLK)
-    visits = int(part.bid.shape[0])
+    e_ch = int(senders.shape[0])
+    n_pad = _round_up(max(n_rows, ROW_BLK), ROW_BLK)
+    visits = int(bid.shape[0])
     out = pl.pallas_call(
         _hub_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -621,8 +631,8 @@ def _hub_visit_reduce(table, part: _HubPart, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(part.bid, part.cs, part.first, part.senders.reshape(1, e_ch),
-      part.w.reshape(1, e_ch), part.hubpos.reshape(e_ch, 1), table)
+    )(bid, cs, first, senders.reshape(1, e_ch),
+      w.reshape(1, e_ch), hubpos.reshape(e_ch, 1), table)
     return out
 
 

@@ -41,7 +41,9 @@ from ..ops.pallas.spmm import (
     LANE,
     ROW_BLK,
     _chunk_schedule,
+    _hub_reduce_raw,
     _interpret_default,
+    _plan_hub_size,
     _round_up,
     _sddmm_visits_raw,
     _visit_reduce_raw,
@@ -57,7 +59,14 @@ class ShardedPallasSpmm:
     per-shard visit-scheduled Pallas kernels."""
 
     def __init__(self, graph: BipartiteGraph, mesh: Mesh,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 hub_split: Optional[int] = None):
+        """``hub_split``: None = auto (per-shard degree cost model, max
+        over shards), 0 = single-path layout, >0 = force that table size.
+        The split serves the *static-weight* forward exactly like the
+        single-chip operator: each shard's top-H receivers live in a
+        VMEM table (one tiny H-row gather from the all-gathered features
+        per call), only cold edges pay the issue-bound XLA gather."""
         self.graph = graph
         self.mesh = mesh
         self.interpret = (
@@ -120,6 +129,7 @@ class ShardedPallasSpmm:
             )
             shards.append(dict(
                 e_i=e_i, lo=lo, e_ch=e_ch,
+                s_loc=s_loc, r_i=r_i, w_i=w_i,
                 senders_f=senders_f, recv_f=recv_f, w_f=w_f,
                 bid_f=bid_f, cs_f=cs_f, first_f=first_f, last_f=last_f,
                 senders_t=senders_t, recv_t=recv_t, w_t=w_t, perm_t=perm_t,
@@ -183,7 +193,105 @@ class ShardedPallasSpmm:
             pad_visits("last_t", vt_max, None),
         ))
         del nd
+
+        # ---- per-shard hub split for the static-weight forward ----
+        # Same cost model as the single-chip operator, applied per shard
+        # (shard_map is SPMD, so one common H across shards: the max of
+        # the per-shard plans).  Each shard keeps its OWN top-H receiver
+        # table — hub sets differ across shards and that is fine, the
+        # table gather reads from the all-gathered features.
+        if hub_split is None:
+            planned = [
+                _plan_hub_size(
+                    np.bincount(sh["r_i"], minlength=n_dst),
+                    sh["e_i"], row_blk,
+                ) if sh["e_i"] else 0
+                for sh in shards
+            ]
+            h = max(planned) if planned else 0
+        else:
+            h = int(hub_split)
+        self.hub_size = h
+        self._split = None
+        if h:
+            self._split = self._build_split_arrays(
+                shards, h, row_blk, n_dst, put
+            )
         self._build()
+
+    def _build_split_arrays(self, shards, h, row_blk, n_dst, put):
+        """Stack per-shard hub/cold arrays to common (padded) shapes."""
+        parts = []
+        for sh in shards:
+            s_loc, r_i, w_i = sh["s_loc"], sh["r_i"], sh["w_i"]
+            deg = np.bincount(r_i, minlength=n_dst)
+            order = np.argsort(deg)[::-1]
+            heff = min(h, n_dst)
+            hub_ids = np.zeros(h, np.int64)
+            hub_ids[:heff] = order[:heff]
+            rank = np.full(n_dst, -1, np.int64)
+            rank[hub_ids[:heff]] = np.arange(heff)
+            pos = rank[r_i] if len(r_i) else np.zeros(0, np.int64)
+            is_hub = pos >= 0
+            parts.append(dict(
+                hub_ids=hub_ids,
+                hs=s_loc[is_hub], hp=pos[is_hub], hw=w_i[is_hub],
+                cs_=s_loc[~is_hub], cr=r_i[~is_hub], cw=w_i[~is_hub],
+            ))
+
+        e_ch_h = _round_up(
+            max(max(len(p["hs"]) for p in parts), 1), E_CHUNK
+        )
+        e_ch_c = _round_up(
+            max(max(len(p["cs_"]) for p in parts), 1), E_CHUNK
+        )
+
+        def sched(part_s, e_ch):
+            cnt = np.bincount(part_s, minlength=row_blk)
+            ptr = np.concatenate([[0], np.cumsum(cnt)])
+            return _chunk_schedule(ptr, row_blk, e_ch // E_CHUNK)
+
+        for p in parts:
+            p["h_sched"] = sched(p["hs"], e_ch_h)
+            p["c_sched"] = sched(p["cs_"], e_ch_c)
+        v_h = max(len(p["h_sched"][0]) for p in parts)
+        v_c = max(len(p["c_sched"][0]) for p in parts)
+
+        def stack_edges(key, e_ch, fill):
+            return np.stack([
+                _pad_to(p[key], e_ch, fill) for p in parts
+            ])
+
+        def stack_visits(idx, which, vmax, e_ch):
+            out = []
+            for p in parts:
+                bid, cs, first, last = p[which]
+                a = (bid, cs, first, last)[idx]
+                fill = {0: row_blk // ROW_BLK - 1,
+                        1: e_ch // E_CHUNK - 1}.get(idx, 0)
+                out.append(_pad_to(a, vmax, fill))
+            return np.stack(out)
+
+        h_snd = stack_edges("hs", e_ch_h, row_blk).astype(np.int32)
+        h_pos = stack_edges("hp", e_ch_h, h).astype(np.int32)
+        h_w = stack_edges("hw", e_ch_h, 0.0).astype(np.float32)
+        h_ids = np.stack([p["hub_ids"] for p in parts]).astype(np.int32)
+        c_snd = stack_edges("cs_", e_ch_c, row_blk).astype(np.int32)
+        c_recv = np.minimum(
+            stack_edges("cr", e_ch_c, n_dst), n_dst - 1
+        ).astype(np.int32)
+        c_w = stack_edges("cw", e_ch_c, 0.0).astype(np.float32)
+        return tuple(put(a) for a in (
+            h_snd, h_pos, h_w, h_ids,
+            stack_visits(0, "h_sched", v_h, e_ch_h),
+            stack_visits(1, "h_sched", v_h, e_ch_h),
+            stack_visits(2, "h_sched", v_h, e_ch_h),
+            c_snd, c_recv, c_w,
+            stack_visits(0, "c_sched", v_c, e_ch_c),
+            stack_visits(1, "c_sched", v_c, e_ch_c),
+            stack_visits(2, "c_sched", v_c, e_ch_c),
+            stack_visits(3, "c_sched", v_c, e_ch_c),
+        ))
 
     # ------------------------------------------------------------------
     def partition_weights(self, w):
@@ -268,6 +376,41 @@ class ShardedPallasSpmm:
             ), snd, bid[0], cs[0], cfirst[0], interp)
             return dw[None]
 
+        _fwd_split = None
+        if self._split is not None:
+            spec_h = P("data", None)
+
+            @partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(spec_h,) * 14 + (P("data", None),),
+                out_specs=P("data", None), check_vma=False,
+            )
+            def _fwd_split(h_snd, h_pos, h_w, h_ids, h_bid, h_cs, h_first,
+                           c_snd, c_recv, c_w, c_bid, c_cs, c_first, c_last,
+                           x_shard):
+                x_full = jax.lax.all_gather(
+                    x_shard, "data", axis=0, tiled=True
+                )
+                d = x_full.shape[1]
+                d_pad = _round_up(d, LANE)
+                table = jnp.take(x_full, h_ids[0], axis=0).astype(
+                    jnp.float32
+                )
+                if d_pad != d:
+                    table = jnp.pad(table, ((0, 0), (0, d_pad - d)))
+                out = _hub_reduce_raw(
+                    table, h_snd[0], h_w[0], h_pos[0], h_bid[0], h_cs[0],
+                    h_first[0], row_blk, interp,
+                )
+                gathered = jnp.take(x_full, c_recv[0], axis=0)
+                if d_pad != d:
+                    gathered = jnp.pad(gathered, ((0, 0), (0, d_pad - d)))
+                out = out + _visit_reduce_raw(
+                    gathered, c_w[0], c_snd[0], c_bid[0], c_cs[0],
+                    c_first[0], c_last[0], row_blk, interp,
+                )
+                return out[:, :d]
+
         f_snd, f_recv, f_w, f_bid, f_cs, f_first, f_last = self._f
         (t_snd, t_recv, t_w, t_perm, t_bid, t_cs, t_first,
          t_last) = self._t
@@ -320,8 +463,12 @@ class ShardedPallasSpmm:
         apply_fn.defvjp(apply_fwd, apply_bwd)
         self._apply = apply_fn
 
+        split = self._split
+
         @jax.custom_vjp
         def apply_static(x):
+            if split is not None:
+                return _fwd_split(*split, pad_x(x))[:n_src]
             return _fwd(f_snd, f_recv, f_bid, f_cs, f_first, f_last, f_w,
                         pad_x(x))[:n_src]
 

@@ -102,3 +102,66 @@ def test_sharded_pallas_training_trajectory(rng):
     h_pallas = run(lambda h, att: op(h, edge_weight=att))
     h_xla = run(lambda h, att: spmm(g, h, edge_weight=att))
     np.testing.assert_allclose(h_pallas, h_xla, rtol=1e-4, atol=1e-4)
+
+
+def _skewed_graph(rng, n_src=300, n_dst=160, e=3000):
+    """Power-law receivers so the hub table actually carries most edges."""
+    from msha_gnn_tpu.graph import BipartiteGraph
+
+    p = 1.0 / np.arange(1, n_dst + 1) ** 1.5
+    p /= p.sum()
+    src = rng.integers(0, n_src, e)
+    dst = rng.choice(n_dst, e, p=p)
+    return BipartiteGraph.from_coo(
+        src, dst, np.ones(e, np.float32), n_src=n_src, n_dst=n_dst,
+        combine_duplicates=False,
+    )
+
+
+@pytest.mark.parametrize("h", [8, 64])
+def test_sharded_hub_split_fwd_matches_single(rng, h):
+    """Forced hub split: per-shard VMEM-table + cold-gather composition
+    must equal the XLA SpMM and the single-path sharded layout exactly
+    (static weights)."""
+    g = _skewed_graph(rng)
+    mesh = make_mesh(8, data_axis=8)
+    op_h = ShardedPallasSpmm(g, mesh, interpret=True, hub_split=h)
+    op_s = ShardedPallasSpmm(g, mesh, interpret=True, hub_split=0)
+    assert op_h.hub_size == h and op_h._split is not None
+    assert op_s.hub_size == 0 and op_s._split is None
+    x = jnp.asarray(rng.standard_normal((160, 8)).astype(np.float32))
+    want = np.asarray(spmm(g, x))
+    np.testing.assert_allclose(np.asarray(op_h(x)), want,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(op_s(x)), want,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_hub_split_grad_unchanged(rng):
+    """The split only changes the forward value path; d/dx must still
+    match the single-device gradient."""
+    g = _skewed_graph(rng, 260, 140, 2500)
+    mesh = make_mesh(4, data_axis=4)
+    op = ShardedPallasSpmm(g, mesh, interpret=True, hub_split=16)
+    x = jnp.asarray(rng.standard_normal((140, 8)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((260, 8)).astype(np.float32))
+    gx_d = jax.grad(lambda x: (op(x) * ct).sum())(x)
+    gx_s = jax.grad(lambda x: (spmm(g, x) * ct).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx_d), np.asarray(gx_s),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_hub_auto_plan_is_correct_either_way(rng):
+    """Auto planning picks per-shard: whatever H it chooses (including 0),
+    the static forward must stay exact.  (At toy n_dst the model may
+    legitimately take the split even for uniform degrees — a 128-row
+    table covers most of 200 receivers; the decline-on-uniform honesty
+    property is covered at bench scale by BENCH_FULL's alpha=0 row.)"""
+    g, _ = make_random_bipartite(rng, 300, 200, density=0.05)
+    mesh = make_mesh(4, data_axis=4)
+    op = ShardedPallasSpmm(g, mesh, interpret=True)  # auto
+    assert op.hub_size >= 0
+    x = jnp.asarray(rng.standard_normal((200, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(op(x)), np.asarray(spmm(g, x)), rtol=1e-4, atol=1e-4
+    )
