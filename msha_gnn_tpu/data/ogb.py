@@ -40,7 +40,9 @@ def _load_split_pt(path: str) -> Dict[str, np.ndarray]:
     """One OGB split file (torch-pickled dict of edge tensors)."""
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only=True: the official split files are plain tensor dicts;
+    # never unpickle arbitrary objects from a downloaded .pt file.
+    blob = torch.load(path, map_location="cpu", weights_only=True)
     return {k: np.asarray(v) for k, v in blob.items()}
 
 

@@ -239,12 +239,18 @@ class ShardedPallasSpmm:
                 cs_=s_loc[~is_hub], cr=r_i[~is_hub], cw=w_i[~is_hub],
             ))
 
+        # + E_CHUNK guarantees an all-sentinel trailing chunk on EVERY
+        # shard (like the single-path layout at __init__): cross-shard
+        # visit padding in stack_visits revisits (last block, last chunk)
+        # with first=0 and the kernels accumulate, so if the largest
+        # shard's last chunk held real edges those would be double-added
+        # on shards padded up to the common visit count.
         e_ch_h = _round_up(
             max(max(len(p["hs"]) for p in parts), 1), E_CHUNK
-        )
+        ) + E_CHUNK
         e_ch_c = _round_up(
             max(max(len(p["cs_"]) for p in parts), 1), E_CHUNK
-        )
+        ) + E_CHUNK
 
         def sched(part_s, e_ch):
             cnt = np.bincount(part_s, minlength=row_blk)

@@ -116,6 +116,8 @@ class _Handler(BaseHTTPRequestHandler):
             req = json.loads(self.rfile.read(length))
         except json.JSONDecodeError as e:
             return self._send(400, {"error": f"bad JSON: {e}"})
+        if not isinstance(req, dict):
+            return self._send(400, {"error": "body must be a JSON object"})
         try:
             if self.path == "/v1/predict":
                 out = self.service.predict(req.get("nodes"),
@@ -124,7 +126,7 @@ class _Handler(BaseHTTPRequestHandler):
             if self.path == "/v1/scores":
                 out = self.service.scores(req.get("nodes"))
                 return self._send(200, {"log_scores": out})
-        except ValueError as e:
+        except (TypeError, ValueError) as e:
             return self._send(400, {"error": str(e)})
         self._send(404, {"error": f"no route {self.path!r}"})
 

@@ -52,11 +52,21 @@ DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
 HBM_BW = 810e9
 ICI_BW = 45e9
 
+# Ordered longest-first so e.g. "all-gather-start" never half-matches as
+# "all-gather"; "-done" ops deliberately never match (their buffers were
+# already counted at the paired "-start").
+_COLL_OPS = (
+    "all-gather-start", "all-reduce-start", "collective-permute-start",
+    "all-gather", "all-reduce", "reduce-scatter", "collective-permute",
+    "all-to-all",
+)
+# group(1) = the FULL result type (scalar or tuple — tuple-result forms
+# like "(f32[16,8], f32[128,8]) all-gather-start(...)" arise from async
+# pairs and variadic/combined collectives); shapes are extracted from it
+# with _SHAPE below so multi-buffer results are not silently dropped.
 _COLL = re.compile(
-    r"=\s+(?:\()?([a-z0-9]+)\[([\d,]*)\][^ ]*\s*"
-    r"(all-gather-start|all-gather|all-reduce-start|all-reduce|"
-    r"reduce-scatter|collective-permute-start|collective-permute|"
-    r"all-to-all)\(")
+    r"=\s*([^=\n]*?)\s*(" + "|".join(_COLL_OPS) + r")\(")
+_SHAPE = re.compile(r"\b([a-z]+\d*|pred)\[([\d,]*)\]")
 
 
 def collective_bytes(hlo_text: str, k: int):
@@ -68,12 +78,24 @@ def collective_bytes(hlo_text: str, k: int):
     (k-1)·output.  collective-permute: the full buffer, once.
     """
     per_op = []
+    matched = 0
     for m in _COLL.finditer(hlo_text):
-        dt, shape, op = m.groups()
-        if dt not in DTYPE_BYTES:
-            continue
-        dims = [int(x) for x in shape.split(",") if x] or [1]
-        nbytes = int(np.prod(dims)) * DTYPE_BYTES[dt]
+        result_type, op = m.groups()
+        matched += 1
+        shapes = _SHAPE.findall(result_type)
+        if not shapes:
+            raise ValueError(
+                f"unparsable collective result type: {result_type!r}")
+        if op.endswith("-start"):
+            # async pair result is (input(s)..., output): wire bytes are
+            # the OUTPUT buffer only — count the last shape
+            shapes = shapes[-1:]
+        nbytes = 0
+        for dt, shape in shapes:
+            if dt not in DTYPE_BYTES:
+                raise ValueError(f"unknown collective dtype {dt!r}")
+            dims = [int(x) for x in shape.split(",") if x] or [1]
+            nbytes += int(np.prod(dims)) * DTYPE_BYTES[dt]
         op = op.replace("-start", "")
         if op == "all-gather":
             wire = nbytes * (k - 1) / k
@@ -85,8 +107,21 @@ def collective_bytes(hlo_text: str, k: int):
             wire = nbytes
         else:  # all-to-all
             wire = nbytes * (k - 1) / k
-        per_op.append({"op": op, "dtype": dt, "shape": dims,
+        per_op.append({"op": op, "dtype": shapes[-1][0],
+                       "shape": [int(x) for x in shapes[-1][1].split(",")
+                                 if x] or [1],
                        "buffer_bytes": nbytes, "wire_bytes_per_chip": wire})
+    # loud undercount guard: every textual occurrence of a collective op
+    # call must have been matched (excluding "-done", counted at "-start")
+    expected = sum(
+        hlo_text.count(f" {op}(") for op in _COLL_OPS
+        # plain names also appear inside "-start"/"-done" lines; count
+        # only exact call forms by requiring the preceding char pattern
+    )
+    if matched < expected:
+        raise ValueError(
+            f"collective undercount: matched {matched} of {expected} "
+            "collective calls — result-type parser needs extending")
     return per_op
 
 

@@ -97,6 +97,13 @@ def test_validation_errors(base_url, service):
         code, body = _post(base_url + "/v1/predict", payload)
         assert code == 400, payload
         assert "error" in body
+    # ADVICE r2: valid-JSON non-dict bodies and non-numeric k must be a
+    # clean 400, not a dropped connection
+    for raw in ([1, 2], "nodes", 7):
+        code, body = _post(base_url + "/v1/predict", raw)
+        assert code == 400 and "error" in body, raw
+    code, body = _post(base_url + "/v1/predict", {"nodes": [0], "k": []})
+    assert code == 400 and "error" in body
     code, body = _post(base_url + "/v1/nope", {"nodes": [0]})
     assert code == 404
     with pytest.raises(urllib.error.HTTPError) as exc:

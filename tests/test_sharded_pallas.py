@@ -151,6 +151,60 @@ def test_sharded_hub_split_grad_unchanged(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_sharded_hub_split_unequal_visit_padding_no_double_add(rng):
+    """ADVICE r2 (high): cross-shard visit padding revisits (last block,
+    last chunk) with first=0 and the kernels accumulate — if the split
+    edge arrays lack the guaranteed all-sentinel trailing chunk, the shard
+    with the most cold edges double-adds its last chunk's real edges.
+
+    Deterministic construction (E_CHUNK=1024, ROW_BLK=128, k=2,
+    row_blk=256): shard0's cold part has exactly 1024 block-0 edges (one
+    full chunk) + 1030 block-1 edges, so its real edges end inside the
+    last data chunk and its schedule has FEWER visits than shard1's
+    (2100 block-0 edges straddling three chunks + 200 block-1 edges).
+    Shard0 is therefore padded up to shard1's visit count; the padded
+    visits target (last block, last chunk) and must find only sentinels.
+    """
+    from msha_gnn_tpu.graph import BipartiteGraph
+
+    def per_sender(counts):
+        # counts: {sender: n_edges}
+        return np.repeat(
+            np.fromiter(counts.keys(), np.int64),
+            np.fromiter(counts.values(), np.int64),
+        )
+
+    s0_b0 = per_sender({r: 8 for r in range(0, 128)})            # 1024
+    s0_b1 = per_sender({128: 14, **{r: 8 for r in range(129, 256 - 1)}})
+    s0_b1 = np.concatenate([s0_b1, np.full(1030 - len(s0_b1), 254)])
+    s1_b0 = per_sender({r: 17 for r in range(256, 380)})         # 2108-ish
+    s1_b0 = s1_b0[:2100]
+    s1_b1 = per_sender({r: 2 for r in range(384, 484)})          # 200
+    cold_s = np.concatenate([s0_b0, s0_b1, s1_b0, s1_b1])
+    cold_r = 5 + np.arange(len(cold_s))     # all-distinct, degree 1
+    # per-shard degree 2 (vs 1 for every cold receiver) so each shard's
+    # top-5 degree ranking picks exactly these five
+    hub_s = np.array([255] * 10 + [511] * 10)
+    hub_r = np.tile(np.arange(5), 4)
+    src = np.concatenate([cold_s, hub_s])
+    dst = np.concatenate([cold_r, hub_r])
+    n_dst = 5 + len(cold_s)
+    g = BipartiteGraph.from_coo(
+        src, dst, np.ones(len(src), np.float32), n_src=512, n_dst=n_dst,
+        combine_duplicates=False,
+    )
+    mesh = make_mesh(2, data_axis=2)
+    op = ShardedPallasSpmm(g, mesh, interpret=True, hub_split=5)
+    assert op._split is not None
+    # the construction must actually trigger cross-shard visit padding:
+    # shard0 cold = 4 visits post-fix, shard1 cold = 5 -> stacked to 5
+    assert op._split[10].shape[1] == 5
+    x = jnp.asarray(rng.standard_normal((n_dst, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(op(x)), np.asarray(spmm(g, x)), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_sharded_hub_auto_plan_is_correct_either_way(rng):
     """Auto planning picks per-shard: whatever H it chooses (including 0),
     the static forward must stay exact.  (At toy n_dst the model may
