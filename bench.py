@@ -32,7 +32,7 @@ def main():
     import numpy as np
 
     from msha_gnn_tpu.bench import (
-        _timeit,
+        _timeit_chain,
         bench_flagship,
         device_peaks,
         make_powerlaw_graph,
@@ -67,20 +67,22 @@ def main():
         strict = e_pad * (8 + 4 * d) + n * d * 4
         phase = strict + 2 * e_pad * d * 4
 
+        # All kernel rows use the dependency-chained timer (r3): the r2
+        # dispatch-loop timings agree within ~10% for these compound
+        # programs but can grossly overstate bare single-op speed through
+        # the remoted runtime — the chain is the trustworthy method.
         op = SpmmOperator.build(g)  # auto hub-split (H=128 on this graph)
-        t_p = _timeit(jax.jit(lambda x: op(x)), x, iters=10)
-        t_x = _timeit(jax.jit(lambda x: spmm(g, x)), x, iters=10)
+        t_p = _timeit_chain(lambda x: op(x), x)
+        t_x = _timeit_chain(lambda x: spmm(g, x), x)
         # single-path layout (r1 kernel): isolates the hub-split win
         op_ns = SpmmOperator.build(g, hub_split=0)
-        t_ns = _timeit(jax.jit(lambda x: op_ns(x)), x, iters=10)
+        t_ns = _timeit_chain(lambda x: op_ns(x), x)
         # hardware-grounded bound: the random row gather is access-bound
         # (the TPU gather path, not HBM bandwidth, is the limiter), so the
         # achievable floor = measured gather + streaming floor for the
         # reduce's inputs/outputs
         recv = op.fwd_dir.recv_clamped
-        t_gather = _timeit(
-            jax.jit(lambda x: jnp.take(x, recv, axis=0)), x, iters=10
-        )
+        t_gather = _timeit_chain(lambda x: jnp.take(x, recv, axis=0), x)
         # Row-rate proof (scripts_gather_probe.py, r2): a *sequential*-index
         # gather of the same row count runs at the same speed as the random
         # one — the TPU gather path is bound by rows/s issue rate, not by
@@ -89,8 +91,8 @@ def main():
         seq_idx = jnp.asarray(
             (np.arange(int(recv.shape[0])) % n).astype(np.int32)
         )
-        t_gather_seq = _timeit(
-            jax.jit(lambda x: jnp.take(x, seq_idx, axis=0)), x, iters=10
+        t_gather_seq = _timeit_chain(
+            lambda x: jnp.take(x, seq_idx, axis=0), x
         )
         e_ch = op.fwd_dir.e_ch
         t_stream = (e_ch * (4 * d + 8) + n * d * 4) / bw
@@ -98,11 +100,32 @@ def main():
         # bf16 feature streaming: halves gather write + kernel read traffic
         # (f32 accumulation inside the kernel; ~2^-8 relative error)
         op16 = SpmmOperator.build(g, precision="bf16")
-        t_p16 = _timeit(jax.jit(lambda x: op16(x)), x, iters=10)
+        t_p16 = _timeit_chain(lambda x: op16(x), x)
         x16 = x.astype(jnp.bfloat16)
-        t_gather16 = _timeit(
-            jax.jit(lambda x: jnp.take(x, recv, axis=0)), x16, iters=10
+        t_gather16 = _timeit_chain(
+            lambda x16: jnp.take(x16, recv, axis=0), x16
         )
+
+        # runtime-attention-weight path (VERDICT r2 #1 — the training hot
+        # path): dense-hub compose streams the CSR-order weights with zero
+        # permute; fwd + full fwd+grad, hub vs single-path
+        rng_w = np.random.default_rng(7)
+        w_att = jnp.asarray(rng_w.random(int(e_pad)).astype(np.float32))
+        ct = jnp.asarray(
+            rng_w.standard_normal((n, d)).astype(np.float32))
+        t_w = _timeit_chain(lambda x, w: op(x, edge_weight=w), x, w_att)
+        t_w_ns = _timeit_chain(
+            lambda x, w: op_ns(x, edge_weight=w), x, w_att)
+
+        def grad_of(o):
+            return lambda x, w: jax.grad(
+                lambda x, w: jnp.vdot(o(x, edge_weight=w), ct),
+                argnums=(0, 1))(x, w)
+        t_wg = _timeit_chain(grad_of(op), x, w_att)
+        t_wg_ns = _timeit_chain(grad_of(op_ns), x, w_att)
+        # weighted strict adds the per-edge attention read
+        strict_w = strict + e_pad * 4
+        phase_w = phase + e_pad * 4
 
         hub = op.fwd_split.hub if op.fwd_split is not None else None
         details["spmm_pallas"] = {
@@ -133,6 +156,19 @@ def main():
             "two_phase_floor_fraction_bf16":
                 (min(t_gather16, t_gather) + t_stream / 2) / t_p16,
         }
+        details["spmm_weighted"] = {
+            # r3 dense-hub: runtime weights stream in CSR order (no hub
+            # permute) — the split now serves the training hot path
+            "seconds": t_w, "edges_per_s": e / t_w,
+            "seconds_single_path": t_w_ns,
+            "hub_split_speedup": t_w_ns / t_w,
+            "roofline_fraction": (phase_w / bw) / t_w,
+            "strict_roofline_fraction": (strict_w / bw) / t_w,
+            "vs_static_hub": t_w / t_p,
+            "fwd_grad_seconds": t_wg,
+            "fwd_grad_seconds_single_path": t_wg_ns,
+            "fwd_grad_speedup": t_wg_ns / t_wg,
+        }
         details["spmm_xla"] = {"seconds": t_x, "edges_per_s": e / t_x}
 
         # Pallas x partition composition (VERDICT r1 #3): the shard-local
@@ -143,7 +179,7 @@ def main():
 
             mesh1 = make_mesh(1, data_axis=1)
             sop = ShardedPallasSpmm(g, mesh1)
-            t_sh = _timeit(jax.jit(lambda x: sop(x)), x, iters=10)
+            t_sh = _timeit_chain(lambda x: sop(x), x)
             details["spmm_sharded_pallas_1chip"] = {
                 "seconds": t_sh,
                 "edges_per_s": e / t_sh,
@@ -162,10 +198,10 @@ def main():
             rng.standard_normal(g.num_padded_edges), jnp.float32
         )
         fop = FlashGATOperator.build(g, spmm=op)
-        t_fl = _timeit(jax.jit(lambda l, x: fop(l, x)), logits, x, iters=10)
-        t_sep = _timeit(
-            jax.jit(lambda l, x: spmm(g, x, edge_weight=edge_softmax(g, l))),
-            logits, x, iters=10,
+        t_fl = _timeit_chain(lambda l, x: fop(l, x), logits, x)
+        t_sep = _timeit_chain(
+            lambda l, x: spmm(g, x, edge_weight=edge_softmax(g, l)),
+            logits, x,
         )
         details["flash_gat"] = {
             "seconds": t_fl, "edges_per_s": e / t_fl,
@@ -182,9 +218,8 @@ def main():
         rng_s = np.random.default_rng(3)
         h_src = jnp.asarray(rng_s.standard_normal((n, d)), jnp.float32)
         dop = SddmmOperator.build(g, spmm=op)
-        t_sd = _timeit(jax.jit(lambda a, b: dop(a, b)), h_src, x, iters=10)
-        t_sd_x = _timeit(jax.jit(lambda a, b: sddmm_dot(g, a, b)), h_src, x,
-                         iters=10)
+        t_sd = _timeit_chain(lambda a, b: dop(a, b), h_src, x)
+        t_sd_x = _timeit_chain(lambda a, b: sddmm_dot(g, a, b), h_src, x)
         strict_sd = e_pad * (4 * d + 8) + n * d * 4
         phase_sd = strict_sd + 2 * e_pad * d * 4
         details["sddmm_pallas"] = {
@@ -204,7 +239,7 @@ def main():
             # hub-split win above is skew-dependent)
             gu, xu = make_powerlaw_graph(n, n, e, d, seed=2, alpha=0.0)
             opu = SpmmOperator.build(gu)
-            t_u = _timeit(jax.jit(lambda x: opu(x)), xu, iters=10)
+            t_u = _timeit_chain(lambda x: opu(x), xu)
             details["spmm_pallas_uniform"] = {
                 "seconds": t_u, "edges_per_s": e / t_u,
                 "hub_size": 0 if opu.fwd_split is None

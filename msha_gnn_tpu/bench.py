@@ -52,6 +52,39 @@ def _timeit(fn, *args, warmup=3, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def _timeit_chain(fn, *args, iters=10):
+    """Dependency-chained device timing: ONE dispatch runs ``iters``
+    sequential executions inside ``lax.scan`` — each step perturbs the
+    first argument by the carry, so no step can overlap or elide — then
+    one 4-byte sync.
+
+    The dispatch-loop ``_timeit`` above can grossly overstate speed for
+    small single-op programs on remoted runtimes (independent iterations
+    overlap; a bare 1 GB row gather "measured" 0.03 ms).  For compound
+    kernel programs the two methods agree within ~10% on v5e; the chain
+    is the trustworthy one and is what the kernel rows report.  Biases
+    (both small and identical across rows): one elementwise pass over
+    ``args[0]`` per step and one host sync per run.
+    """
+    import jax.numpy as _jnp
+
+    x0, rest = args[0], args[1:]
+
+    @jax.jit
+    def run(x0, *rest):
+        def step(c, _):
+            out = fn(x0 + c * 1e-12, *rest)
+            leaf = jax.tree_util.tree_leaves(out)[0].reshape(-1)
+            return (leaf[0] + leaf[-1]).astype(_jnp.float32) + c * 0.5, None
+        c, _ = jax.lax.scan(step, _jnp.float32(0.0), None, length=iters)
+        return c
+
+    float(run(x0, *rest))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(x0, *rest))
+    return (time.perf_counter() - t0) / iters
+
+
 # ---------------------------------------------------------------------------
 # Reference-style dense MSHA (baseline) — materialises what the reference
 # materialises (train.py:78-117): used only as the timing baseline.

@@ -28,14 +28,19 @@ import jax
 import jax.numpy as jnp
 
 from ...graph import BipartiteGraph
-from .spmm import SpmmOperator, _sddmm_visits
+from .spmm import SpmmOperator, _sddmm_split
 
 Array = jax.Array
 
 
 class SddmmOperator:
     """Differentiable per-edge dot products bound to one graph; returns
-    logits in the graph's CSR edge order ([e_pad], padding entries 0)."""
+    logits in the graph's CSR edge order ([e_pad], padding entries 0).
+
+    Hub-split (VERDICT r2 #2): edges whose receiver is in the spmm
+    operator's hub table get their dst row from the VMEM compose instead
+    of the issue-bound XLA gather; part outputs return to CSR order via
+    a free static take."""
 
     def __init__(self, graph: BipartiteGraph,
                  interpret: Optional[bool] = None,
@@ -44,12 +49,13 @@ class SddmmOperator:
         self.spmm = spmm if spmm is not None else SpmmOperator(graph, interpret)
         self.interpret = self.spmm.interpret
         dir_ = self.spmm.fwd_dir
+        split = self.spmm.fwd_split
         spmm_ = self.spmm
         interp = self.interpret
 
         @jax.custom_vjp
         def apply_fn(h_src, h_dst):
-            return _sddmm_visits(dir_, h_src, h_dst, interp)
+            return _sddmm_split(dir_, split, h_src, h_dst, interp)
 
         def apply_fwd(h_src, h_dst):
             return apply_fn(h_src, h_dst), (h_src, h_dst)

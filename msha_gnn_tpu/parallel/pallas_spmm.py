@@ -45,6 +45,7 @@ from ..ops.pallas.spmm import (
     _interpret_default,
     _plan_hub_size,
     _round_up,
+    _sddmm_hub_raw,
     _sddmm_visits_raw,
     _visit_reduce_raw,
 )
@@ -237,6 +238,7 @@ class ShardedPallasSpmm:
                 hub_ids=hub_ids,
                 hs=s_loc[is_hub], hp=pos[is_hub], hw=w_i[is_hub],
                 cs_=s_loc[~is_hub], cr=r_i[~is_hub], cw=w_i[~is_hub],
+                h_idx=np.nonzero(is_hub)[0], c_idx=np.nonzero(~is_hub)[0],
             ))
 
         # + E_CHUNK guarantees an all-sentinel trailing chunk on EVERY
@@ -287,16 +289,51 @@ class ShardedPallasSpmm:
             stack_edges("cr", e_ch_c, n_dst), n_dst - 1
         ).astype(np.int32)
         c_w = stack_edges("cw", e_ch_c, 0.0).astype(np.float32)
+
+        # runtime-weight plumbing (VERDICT r2 #1, sharded): per-shard
+        # perms hub/cold-position -> shard-CSR position (pad -> E_max, the
+        # appended-zero slot of the shard weight vector), chunk-first
+        # flags for the split SDDMM, and the inverse ``unsplit`` map
+        # shard-CSR position -> concat([hub, cold, 0]) position.
+        e_max = self._e_max
+        h_perm = np.stack([
+            _pad_to(p["h_idx"], e_ch_h, e_max) for p in parts
+        ]).astype(np.int32)
+        c_perm = np.stack([
+            _pad_to(p["c_idx"], e_ch_c, e_max) for p in parts
+        ]).astype(np.int32)
+        # per-part inverse maps (shard-CSR position -> part position, OOB
+        # sentinel elsewhere): the dw un-split is two plain fill-takes on
+        # the raw kernel outputs — a take on a concat operand would fuse
+        # and scalarise (see ops/pallas/spmm._order_w)
+        h_inv = np.full((len(parts), e_max), e_ch_h, np.int64)
+        c_inv = np.full((len(parts), e_max), e_ch_c, np.int64)
+        for i, p in enumerate(parts):
+            h_inv[i, p["h_idx"]] = np.arange(len(p["h_idx"]))
+            c_inv[i, p["c_idx"]] = np.arange(len(p["c_idx"]))
+        h_inv = h_inv.astype(np.int32)
+        c_inv = c_inv.astype(np.int32)
+
+        def cfirst_of(cs_stack):
+            cf = np.ones_like(cs_stack)
+            cf[:, 1:] = (cs_stack[:, 1:] != cs_stack[:, :-1]).astype(
+                cs_stack.dtype)
+            return cf
+
+        h_cs_stack = stack_visits(1, "h_sched", v_h, e_ch_h)
+        c_cs_stack = stack_visits(1, "c_sched", v_c, e_ch_c)
         return tuple(put(a) for a in (
             h_snd, h_pos, h_w, h_ids,
             stack_visits(0, "h_sched", v_h, e_ch_h),
-            stack_visits(1, "h_sched", v_h, e_ch_h),
+            h_cs_stack,
             stack_visits(2, "h_sched", v_h, e_ch_h),
             c_snd, c_recv, c_w,
             stack_visits(0, "c_sched", v_c, e_ch_c),
-            stack_visits(1, "c_sched", v_c, e_ch_c),
+            c_cs_stack,
             stack_visits(2, "c_sched", v_c, e_ch_c),
             stack_visits(3, "c_sched", v_c, e_ch_c),
+            cfirst_of(h_cs_stack), cfirst_of(c_cs_stack),
+            h_perm, c_perm, h_inv, c_inv,
         ))
 
     # ------------------------------------------------------------------
@@ -383,17 +420,17 @@ class ShardedPallasSpmm:
             return dw[None]
 
         _fwd_split = None
+        _fwd_split_w = None
+        _bwd_dw_split = None
         if self._split is not None:
             spec_h = P("data", None)
+            e_max_ = self._e_max
 
-            @partial(
-                jax.shard_map, mesh=mesh,
-                in_specs=(spec_h,) * 14 + (P("data", None),),
-                out_specs=P("data", None), check_vma=False,
-            )
-            def _fwd_split(h_snd, h_pos, h_w, h_ids, h_bid, h_cs, h_first,
-                           c_snd, c_recv, c_w, c_bid, c_cs, c_first, c_last,
-                           x_shard):
+            def _split_fwd_body(h_pos, h_ids, h_bid, h_cs, h_first,
+                                c_recv, c_bid, c_cs, c_first, c_last,
+                                h_snd, c_snd, w_h, w_c, x_shard):
+                """Shared shard body: hub table compose + cold gather with
+                the given (static or runtime) part-ordered weights."""
                 x_full = jax.lax.all_gather(
                     x_shard, "data", axis=0, tiled=True
                 )
@@ -405,17 +442,97 @@ class ShardedPallasSpmm:
                 if d_pad != d:
                     table = jnp.pad(table, ((0, 0), (0, d_pad - d)))
                 out = _hub_reduce_raw(
-                    table, h_snd[0], h_w[0], h_pos[0], h_bid[0], h_cs[0],
+                    table, h_snd[0], w_h, h_pos[0], h_bid[0], h_cs[0],
                     h_first[0], row_blk, interp,
                 )
                 gathered = jnp.take(x_full, c_recv[0], axis=0)
                 if d_pad != d:
                     gathered = jnp.pad(gathered, ((0, 0), (0, d_pad - d)))
                 out = out + _visit_reduce_raw(
-                    gathered, c_w[0], c_snd[0], c_bid[0], c_cs[0],
+                    gathered, w_c, c_snd[0], c_bid[0], c_cs[0],
                     c_first[0], c_last[0], row_blk, interp,
                 )
                 return out[:, :d]
+
+            @partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(spec_h,) * 20 + (P("data", None),),
+                out_specs=P("data", None), check_vma=False,
+            )
+            def _fwd_split(h_snd, h_pos, h_w, h_ids, h_bid, h_cs, h_first,
+                           c_snd, c_recv, c_w, c_bid, c_cs, c_first, c_last,
+                           h_cfirst, c_cfirst, h_perm, c_perm, h_inv,
+                           c_inv, x_shard):
+                return _split_fwd_body(
+                    h_pos, h_ids, h_bid, h_cs, h_first, c_recv, c_bid,
+                    c_cs, c_first, c_last, h_snd, c_snd, h_w[0], c_w[0],
+                    x_shard)
+
+            # runtime-weight hub-split forward (VERDICT r2 #1): the
+            # shard's CSR-order attention slice reaches the two parts
+            # through the precomputed static perms — two cheap takes
+            @partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(spec_h,) * 20 + (spec_e, P("data", None)),
+                out_specs=P("data", None), check_vma=False,
+            )
+            def _fwd_split_w(h_snd, h_pos, h_w, h_ids, h_bid, h_cs,
+                             h_first, c_snd, c_recv, c_w, c_bid, c_cs,
+                             c_first, c_last, h_cfirst, c_cfirst, h_perm,
+                             c_perm, h_inv, c_inv, w_s, x_shard):
+                # plain fill-takes on the raw shard weight row: gathering
+                # through a concat operand fuses + scalarises (~250x, see
+                # ops/pallas/spmm._order_w)
+                w_h = jnp.take(w_s[0], h_perm[0], mode="fill",
+                               fill_value=0.0)
+                w_c = jnp.take(w_s[0], c_perm[0], mode="fill",
+                               fill_value=0.0)
+                return _split_fwd_body(
+                    h_pos, h_ids, h_bid, h_cs, h_first, c_recv, c_bid,
+                    c_cs, c_first, c_last, h_snd, c_snd, w_h, w_c, x_shard)
+
+            # hub-split dw adjoint (VERDICT r2 #2, sharded): hub edges'
+            # x rows come from the VMEM table compose; part outputs
+            # return to shard-CSR order via the per-shard unsplit take
+            @partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(spec_h,) * 20 + (P("data", None),
+                                           P("data", None)),
+                out_specs=P("data", None), check_vma=False,
+            )
+            def _bwd_dw_split(h_snd, h_pos, h_w, h_ids, h_bid, h_cs,
+                              h_first, c_snd, c_recv, c_w, c_bid, c_cs,
+                              c_first, c_last, h_cfirst, c_cfirst, h_perm,
+                              c_perm, h_inv, c_inv, g_shard, x_shard):
+                x_full = jax.lax.all_gather(
+                    x_shard, "data", axis=0, tiled=True
+                )
+                d = x_full.shape[1]
+                d_pad = _round_up(d, LANE)
+                g_p = jnp.pad(
+                    g_shard.astype(jnp.float32), ((0, 0), (0, d_pad - d))
+                )
+                table = jnp.take(x_full, h_ids[0], axis=0).astype(
+                    jnp.float32
+                )
+                if d_pad != d:
+                    table = jnp.pad(table, ((0, 0), (0, d_pad - d)))
+                dw_h = _sddmm_hub_raw(
+                    table, h_snd[0], h_pos[0], h_bid[0], h_cs[0],
+                    h_cfirst[0], g_p, interp,
+                )
+                dst_ord = jnp.take(x_full, c_recv[0], axis=0)
+                if d_pad != d:
+                    dst_ord = jnp.pad(dst_ord, ((0, 0), (0, d_pad - d)))
+                dw_c = _sddmm_visits_raw(
+                    g_p, dst_ord, c_snd[0], c_bid[0], c_cs[0],
+                    c_cfirst[0], interp,
+                )
+                dw = (
+                    jnp.take(dw_h, h_inv[0], mode="fill", fill_value=0.0)
+                    + jnp.take(dw_c, c_inv[0], mode="fill", fill_value=0.0)
+                )
+                return dw[None]
 
         f_snd, f_recv, f_w, f_bid, f_cs, f_first, f_last = self._f
         (t_snd, t_recv, t_w, t_perm, t_bid, t_cs, t_first,
@@ -433,9 +550,13 @@ class ShardedPallasSpmm:
             pad = k * row_blk - g.shape[0]
             return jnp.pad(g, ((0, pad), (0, 0))) if pad else g
 
+        split = self._split
+
         @jax.custom_vjp
         def apply_fn(x, w):
             w_s = self.partition_weights(w)
+            if split is not None:
+                return _fwd_split_w(*split, w_s, pad_x(x))[:n_src]
             return _fwd(f_snd, f_recv, f_bid, f_cs, f_first, f_last, w_s,
                         pad_x(x))[:n_src]
 
@@ -447,17 +568,21 @@ class ShardedPallasSpmm:
             g_p = pad_g(g)
             # transpose needs weights in each shard's CSC order: reorder
             # the shard slice through the precomputed local permutation
+            # plain fill-take on the raw stacked weights (a take through a
+            # concat operand fuses + scalarises — ops/pallas/spmm._order_w);
+            # per-shard pad sentinels e_i read the zero-padded weight tail
             w_s = self.partition_weights(w)           # [k, E_max] shard-CSR
-            w_ext = jnp.concatenate(
-                [w_s, jnp.zeros((k, 1), jnp.float32)], axis=1
-            )
             w_ts = jnp.take_along_axis(
-                w_ext, jnp.minimum(t_perm, e_max).astype(jnp.int32), axis=1
+                w_s, t_perm.astype(jnp.int32), axis=1, mode="fill",
+                fill_value=0.0,
             )
             dx = _bwd_dx(t_snd, t_recv, t_bid, t_cs, t_first, t_last,
                          w_ts, g_p)[:n_dst]
-            dws = _bwd_dw(f_snd, f_recv, f_bid, f_cs, cfirst_f, g_p,
-                          pad_x(x))
+            if split is not None:
+                dws = _bwd_dw_split(*split, g_p, pad_x(x))
+            else:
+                dws = _bwd_dw(f_snd, f_recv, f_bid, f_cs, cfirst_f, g_p,
+                              pad_x(x))
             dw = jnp.concatenate([
                 dws[i, : hi - lo] for i, (lo, hi) in enumerate(bounds)
             ])
@@ -468,8 +593,6 @@ class ShardedPallasSpmm:
 
         apply_fn.defvjp(apply_fwd, apply_bwd)
         self._apply = apply_fn
-
-        split = self._split
 
         @jax.custom_vjp
         def apply_static(x):

@@ -32,7 +32,8 @@ diag + two O(N^3) matmuls -- infeasible on this host):
   All dropout calls keep the reference's tensor shapes so behavior under
   training matches in distribution.
 
-Usage:  python scripts_reference_run.py [--models ablation3,gat,gcn,sage]
+Usage:  python scripts_reference_run.py [--models ablation3,gat,gcn,sage,
+        msha,hgane,llp]
 """
 import argparse
 import csv
@@ -265,6 +266,77 @@ class RefGcn(nn.Module):
         return F.log_softmax(x, dim=1)
 
 
+class RefHgane(nn.Module):
+    """HGANE batch-sliced layer as a standalone model (``HGANE.py:11-76``;
+    the reference constructs it only in the commented ``train.py:202``).
+
+    Exact-math reorganizations as elsewhere in this file: the (N,M,2d')
+    inter concat and the (B,B,2d') intra concat decompose rank-1
+    (``e12[i,j] = a.[h1_j || h2_i]``, ``e3[i,j] = a3.[h2_i || h2_j]``);
+    the intra adjacency block ``adj_intra[batch[:,None], batch] > 0``
+    equals city-group equality on the batch rows.  Driver = the same nll
+    loop over the batch-sliced (B, M) scores with a log_softmax (matching
+    every model the reference actually trains).  Dims follow the
+    framework's hgane preset (in=128, out=64; the commented reference call
+    says 64/64) so GOLDEN.md compares like for like."""
+
+    def __init__(self, d_in, d_out, M, dropout, gdp, N):
+        super().__init__()
+        self.p, self.d_out = dropout, d_out
+        gdp_vals = torch.tensor(list(gdp.values())).view(-1, 1)
+        # HGANE.py:19 — built but never read in forward (kept: it consumes
+        # RNG exactly as in the reference)
+        self.features = nn.Parameter(
+            torch.cat((torch.rand([N, d_in])[:, :-1], gdp_vals), dim=1))
+        self.s_emb = nn.Parameter(torch.rand([N, d_in]))   # HGANE.py:20
+        self.r_emb = nn.Parameter(torch.rand([M, d_in]))   # HGANE.py:21
+        self.W1 = nn.Linear(d_in, d_out, bias=False)
+        self.W2 = nn.Linear(d_in, d_out, bias=False)
+        self.a12 = nn.Linear(2 * d_out, 1, bias=False)
+        self.a3 = nn.Linear(2 * d_out, 1, bias=False)
+        self.bn1 = nn.BatchNorm1d(d_out)
+        self.bn2 = nn.BatchNorm1d(d_out)
+        for lin in (self.W1, self.W2, self.a12, self.a3):
+            nn.init.xavier_uniform_(lin.weight)            # HGANE.py:32-35
+
+    def forward(self, inter_mask, city_id, prov_id, batch):
+        d = self.d_out
+        m_inter = inter_mask[batch]                                 # (B, M)
+        m_intra = city_id[batch][:, None] == city_id[batch][None, :]
+        h1 = self.W1(self.r_emb)                                    # (M, d')
+        h2 = self.W2(self.s_emb[batch])                             # (B, d')
+        a = self.a12.weight.view(-1)
+        # inter_input[i,j] = [h1_j || h2_i]  (HGANE.py:45-46)
+        e12 = F.leaky_relu((h1 @ a[:d])[None, :] + (h2 @ a[d:])[:, None],
+                           0.2)
+        a3 = self.a3.weight.view(-1)
+        # intra_input[i,j] = [h2_i || h2_j]  (HGANE.py:50-51 — the one
+        # place the reference does true pairwise attention)
+        e3 = F.leaky_relu((h2 @ a3[:d])[:, None] + (h2 @ a3[d:])[None, :],
+                          0.2)
+        att_inter = torch.where(m_inter, e12, torch.full_like(e12, -9e15))
+        att_intra = torch.where(m_intra, e3, torch.full_like(e3, -9e15))
+        # joint denominator for intra only; inter normalised by its own sum
+        # (HGANE.py:61-69)
+        sum_county = (torch.exp(att_intra).sum(1, keepdim=True)
+                      + torch.exp(att_inter).sum(1, keepdim=True))
+        att_intra = F.dropout(torch.exp(att_intra) / sum_county, self.p,
+                              training=self.training)
+        att_inter = torch.exp(att_inter) / torch.exp(att_inter).sum(
+            1, keepdim=True)
+        att_inter = F.dropout(att_inter, self.p, training=self.training)
+        # aggregation re-projects the RAW embeddings (HGANE.py:71-73)
+        u = F.leaky_relu(self.bn1(
+            self.W1(att_inter @ self.r_emb)
+            + self.W2(att_intra @ self.s_emb[batch])), 0.2)
+        v = F.leaky_relu(self.bn2(
+            self.W1(att_inter.t() @ self.s_emb[batch])), 0.2)
+        # log_softmax for the nll driver — what every model the reference
+        # actually trains feeds F.nll_loss (matches training/tasks.py
+        # hgane_task)
+        return F.log_softmax(F.elu(u @ v.t()), dim=1)               # (B, M)
+
+
 class RefSage(nn.Module):
     """GraphSAGE (SGAE.py:41-56): 2 linears, degree gate via adj rows."""
 
@@ -279,6 +351,178 @@ class RefSage(nn.Module):
         x = adj_norm[batch] * x  # SGAE.py:54 (needs d_hid == M)
         x = F.relu(self.l2(x))
         return F.log_softmax(x, dim=1)
+
+
+# --------------------------------------------------------------------------
+# LLP (LLP.py:200-304 with the SURVEY §2.2 #2/#3/#4 repairs)
+# --------------------------------------------------------------------------
+class RefMlp(nn.Module):
+    """Student MLP (``LLP.py:36-84``, norm_type='none' as configured)."""
+
+    def __init__(self, d, dropout, num_layers=2):
+        super().__init__()
+        self.p = dropout
+        self.layers = nn.ModuleList(
+            nn.Linear(d, d) for _ in range(num_layers))
+
+    def forward(self, x):
+        for i, layer in enumerate(self.layers):
+            x = layer(x)
+            if i != len(self.layers) - 1:
+                x = F.dropout(F.relu(x), self.p, training=self.training)
+        return x
+
+
+class RefLinkPredictor(nn.Module):
+    """Edge scorer (``LLP.py:86-115``): Hadamard, MLP tower, sigmoid.
+
+    ``final_linear=True`` applies the commented-out output linear
+    (``LLP.py:111``) so scores are per-edge scalars — the repair the
+    framework defaults to (utils/config.py LLPConfig.final_linear)."""
+
+    def __init__(self, d, dropout, num_layers=2, final_linear=True):
+        super().__init__()
+        self.p, self.final_linear = dropout, final_linear
+        self.lins = nn.ModuleList(
+            [nn.Linear(d, d) for _ in range(num_layers - 1)]
+            + [nn.Linear(d, 1)])
+
+    def forward(self, x_i, x_j):
+        x = x_i * x_j
+        for lin in self.lins[:-1]:
+            x = F.dropout(F.relu(lin(x)), self.p, training=self.training)
+        if self.final_linear:
+            x = self.lins[-1](x)
+        return torch.sigmoid(x)
+
+
+class RefLlpTeacher(nn.Module):
+    """Teacher GAT with external features (``LLP.py:148-168``)."""
+
+    def __init__(self, d, M, heads, dropout):
+        super().__init__()
+        self.p = dropout
+        self.heads = nn.ModuleList(RefGatLayer(d, M, dropout)
+                                   for _ in range(heads))
+        self.out_att = RefGatLayer(M * heads, M, dropout)
+
+    def forward(self, x, mask):
+        x = F.dropout(x, self.p, training=self.training)
+        x = torch.cat([h(x, mask) for h in self.heads], dim=1)
+        x = F.dropout(x, self.p, training=self.training)
+        x = F.elu(self.out_att(x, mask))
+        return F.log_softmax(x, dim=1)
+
+
+def _binary_auc(pos, neg):
+    scores = np.concatenate([pos, neg])
+    labels = np.concatenate([np.ones_like(pos), np.zeros_like(neg)])
+    return float(roc_auc_score(labels, scores))
+
+
+def _hits_at_k(pos, neg, k):
+    if len(neg) < k:
+        return 1.0
+    kth = np.sort(neg)[::-1][k - 1]
+    return float(np.mean(pos > kth))
+
+
+def run_llp(ds, epochs=10, batch_size=4096):
+    """Repaired LLP recipe (``LLP.py:217-304``): frozen random teacher,
+    BCE label loss on positive vs recipient-corrupted negative edges
+    (repair #3 — BCELoss is imported and unused in the reference), the
+    10/0.1/100 KD mix, Adam lr 5e-3, reference defaults (LLP.py:8-32).
+
+    Documented divergences, matching the framework's repaired protocol
+    (training/kd.py): features are drawn once per run instead of
+    re-randomised every batch (the reference never optimises them and its
+    own test() reuses the last batch's draw); the frozen teacher's
+    embedding is computed once in eval mode.  Eval = binary AUC +
+    Hits@20/50 of held-out positives vs fresh in-distribution recipient
+    negatives (the declared metric surface, LLP.py:20)."""
+    torch.manual_seed(42)
+    train_ds, test_ds = random_split(
+        ds, [int(0.9 * len(ds)), len(ds) - int(0.9 * len(ds))])
+    train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True)
+    test_loader = DataLoader(test_ds, batch_size=batch_size, shuffle=False)
+    inter_mask = ds.inter_adj > 0
+    N, M, d = ds.N, ds.M, 32
+
+    gdp_vals = torch.tensor(list(ds.gdp.values())).view(-1, 1)
+    features = torch.cat((torch.rand([N, d])[:, :-1], gdp_vals), dim=1)
+    student = RefMlp(d, 0.5)
+    predictor = RefLinkPredictor(d, 0.5)
+    teacher = RefLlpTeacher(d, M, 2, 0.5)
+    teacher_pred = RefLinkPredictor(d, 0.5)
+    teacher.eval()
+    teacher_pred.eval()
+    with torch.no_grad():  # frozen: params never in the optimiser
+        t_h = teacher(features, inter_mask)
+    opt = torch.optim.Adam(
+        list(student.parameters()) + list(predictor.parameters()), lr=5e-3)
+    neg_rng = np.random.default_rng(42)
+    eval_rng = np.random.default_rng(7)
+
+    history = []
+    for epoch in range(epochs):
+        t0 = time.time()
+        student.train()
+        predictor.train()
+        tot = parts = None
+        tot, nb = 0.0, 0
+        parts = np.zeros(3)
+        for src, dst in train_loader:
+            neg = torch.from_numpy(
+                neg_rng.integers(0, M, len(src)).astype(np.int64))
+            opt.zero_grad()
+            h = student(features)
+            pos_s = predictor(h[src], h[dst]).squeeze(-1)
+            neg_s = predictor(h[src], h[neg]).squeeze(-1)
+            eps = 1e-7
+            label = 0.5 * (
+                -(pos_s.clamp(eps, 1 - eps)).log().mean()
+                - (1 - neg_s.clamp(eps, 1 - eps)).log().mean())
+            cos = 1 - F.cosine_similarity(h[src], t_h[src], dim=-1).mean()
+            with torch.no_grad():
+                t_pos = teacher_pred(t_h[src], t_h[dst]).squeeze(-1)
+            mse = F.mse_loss(pos_s, t_pos)
+            loss = 10.0 * label + 0.1 * cos + 100.0 * mse  # LLP.py:237-238
+            loss.backward()
+            opt.step()
+            tot += loss.item()
+            parts += [label.item(), cos.item(), mse.item()]
+            nb += 1
+
+        student.eval()
+        predictor.eval()
+        pos_all, srcs = [], []
+        with torch.no_grad():
+            h = student(features)
+            for src, dst in test_loader:
+                pos_all.append(
+                    predictor(h[src], h[dst]).squeeze(-1).numpy())
+                srcs.append(src.numpy())
+            pos_all = np.concatenate(pos_all)
+            srcs = np.concatenate(srcs)
+            neg_dst = torch.from_numpy(
+                eval_rng.integers(0, M, len(srcs)).astype(np.int64))
+            neg_all = predictor(
+                h[torch.from_numpy(srcs)], h[neg_dst]
+            ).squeeze(-1).numpy()
+        m = {
+            "auc": _binary_auc(pos_all, neg_all),
+            "hits@20": _hits_at_k(pos_all, neg_all, 20),
+            "hits@50": _hits_at_k(pos_all, neg_all, 50),
+            "label_loss": parts[0] / nb, "kd_cosine": parts[1] / nb,
+            "kd_mse": parts[2] / nb,
+        }
+        m.update(epoch=epoch + 1, train_loss=tot / nb,
+                 wall=round(time.time() - t0, 1))
+        history.append(m)
+        print(f"[llp] epoch {epoch+1}: loss={m['train_loss']:.4f} "
+              f"auc={m['auc']:.4f} hits@20={m['hits@20']:.4f} "
+              f"({m['wall']}s)", flush=True)
+    return history
 
 
 # --------------------------------------------------------------------------
@@ -323,6 +567,8 @@ def run_model(name, ds, epochs, batch_size):
         model = RefGcn(64, 128, M, 0.5, ds.gdp, N)  # train.py:200
     elif name == "sage":
         model = RefSage(32, 32, M, ds.gdp, N)  # SGAE.py:77
+    elif name == "hgane":
+        model = RefHgane(128, 64, M, 0.5, ds.gdp, N)
     else:
         raise ValueError(name)
     opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=5e-4)
@@ -342,7 +588,9 @@ def run_model(name, ds, epochs, batch_size):
         for src, dst in train_loader:
             opt.zero_grad()
             out = forward(src)
-            loss = F.nll_loss(out if name == "sage" else out[src], dst)
+            # sage and hgane already emit batch-sliced rows
+            rows_direct = name in ("sage", "hgane")
+            loss = F.nll_loss(out if rows_direct else out[src], dst)
             tot += loss.item()
             loss.backward()
             opt.step()
@@ -352,7 +600,7 @@ def run_model(name, ds, epochs, batch_size):
         with torch.no_grad():
             for src, dst in test_loader:
                 out = forward(src)
-                rows = out if name == "sage" else out[src]
+                rows = out if name in ("sage", "hgane") else out[src]
                 test_loss += F.nll_loss(rows, dst).item()
                 scores.append(rows.numpy())
                 labels.append(dst.numpy())
@@ -383,9 +631,13 @@ def main():
         with open(args.out) as f:
             results = json.load(f)
     for name in args.models.split(","):
-        epochs, bs = (10, 512) if name == "sage" else (5, 64)
         t0 = time.time()
-        hist = run_model(name, ds, epochs, bs)
+        if name == "llp":
+            epochs, bs = 10, 4096  # LLP.py:16,30
+            hist = run_llp(ds, epochs, bs)
+        else:
+            epochs, bs = (10, 512) if name == "sage" else (5, 64)
+            hist = run_model(name, ds, epochs, bs)
         results[name] = {"epochs": epochs, "batch_size": bs,
                          "history": hist, "final": hist[-1],
                          "wall_total": round(time.time() - t0, 1)}

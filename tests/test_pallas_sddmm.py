@@ -53,3 +53,43 @@ def test_sddmm_rank1_wrapper(rng):
     want = np.asarray(sddmm(g, jnp.asarray(s), jnp.asarray(d)))
     mask = np.asarray(g.edge_mask)
     np.testing.assert_allclose(got[mask], want[mask], rtol=1e-3, atol=1e-3)
+
+
+def test_sddmm_hub_split_matches_xla(rng):
+    """VERDICT r2 #2: hub-split SDDMM — hub edges' dst rows from the VMEM
+    table compose, cold rows gathered, outputs back in CSR order."""
+    from msha_gnn_tpu.graph import BipartiteGraph
+    from msha_gnn_tpu.ops.pallas.spmm import SpmmOperator
+
+    n_src, n_dst, e = 350, 260, 4000
+    p = 1.0 / np.arange(1, n_dst + 1) ** 1.4
+    p /= p.sum()
+    src = rng.integers(0, n_src, e)
+    dst = rng.choice(n_dst, e, p=p)
+    g = BipartiteGraph.from_coo(src, dst, np.ones(e, np.float32),
+                                n_src=n_src, n_dst=n_dst,
+                                combine_duplicates=False)
+    sp = SpmmOperator.build(g, interpret=True, hub_split=128)
+    assert sp.fwd_split is not None and sp.fwd_split.cold is not None
+    op = SddmmOperator.build(g, spmm=sp)
+    h_src = jnp.asarray(rng.standard_normal((n_src, 24)).astype(np.float32))
+    h_dst = jnp.asarray(rng.standard_normal((n_dst, 24)).astype(np.float32))
+    got = np.asarray(op(h_src, h_dst))
+    want = np.asarray(sddmm_dot(g, h_src, h_dst))
+    mask = np.asarray(g.edge_mask)
+    np.testing.assert_allclose(got[mask], want[mask], rtol=1e-3, atol=1e-3)
+    assert np.all(got[~mask] == 0.0)  # pads exactly zero via unsplit
+
+    # gradients ride the (hub-split) weighted SpMM adjoints
+    ct = jnp.asarray(
+        rng.standard_normal(int(g.num_padded_edges)).astype(np.float32)
+        * np.asarray(g.edge_mask))
+    gs_p, gd_p = jax.grad(
+        lambda a, b: jnp.sum(op(a, b) * ct), argnums=(0, 1))(h_src, h_dst)
+    gs_x, gd_x = jax.grad(
+        lambda a, b: jnp.sum(sddmm_dot(g, a, b) * ct), argnums=(0, 1))(
+        h_src, h_dst)
+    np.testing.assert_allclose(np.asarray(gs_p), np.asarray(gs_x),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gd_p), np.asarray(gd_x),
+                               rtol=1e-3, atol=1e-3)

@@ -412,3 +412,50 @@ def test_spmm_hub_split_auto_disabled_on_uniform_large(rng):
                                 combine_duplicates=False)
     op = SpmmOperator.build(g, interpret=True)
     assert op.fwd_split is None
+
+
+def test_spmm_hub_split_runtime_weights_fwd_and_grads(rng):
+    """VERDICT r2 #1: the hub split must serve the runtime-attention-weight
+    path (the training hot path) and BOTH its gradients, in both
+    directions, matching the XLA weighted SpMM."""
+    g, _ = _skewed_graph(rng, e=3000)
+    op = SpmmOperator.build(g, interpret=True, hub_split=128)
+    assert op.fwd_split is not None and op.bwd_split is not None
+    x = jnp.asarray(rng.standard_normal((g.n_dst, 16)).astype(np.float32))
+    xt = jnp.asarray(rng.standard_normal((g.n_src, 16)).astype(np.float32))
+    w = rng.standard_normal(g.num_padded_edges).astype(np.float32)
+    w = jnp.asarray(np.where(np.asarray(g.edge_mask), w, 0.0))
+    mask = np.asarray(g.edge_mask)
+
+    for transpose, xx in ((False, x), (True, xt)):
+        got = op(xx, edge_weight=w, transpose=transpose)
+        want = spmm(g, xx, edge_weight=w, transpose=transpose)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=1e-3)
+        gx_p, gw_p = jax.grad(
+            lambda x, w: jnp.sum(
+                op(x, edge_weight=w, transpose=transpose) ** 2),
+            argnums=(0, 1))(xx, w)
+        gx_x, gw_x = jax.grad(
+            lambda x, w: jnp.sum(
+                spmm(g, x, edge_weight=w, transpose=transpose) ** 2),
+            argnums=(0, 1))(xx, w)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gw_p)[mask],
+                                   np.asarray(gw_x)[mask],
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_spmm_hub_split_weighted_matches_single_path(rng):
+    """Hub-split weighted forward vs single-path weighted forward on the
+    same operator inputs: agreement to the hub compose's documented
+    ~2^-16 relative error (its projection drops the lo*lo term)."""
+    g, _ = _skewed_graph(rng, e=4000)
+    op_h = SpmmOperator.build(g, interpret=True, hub_split=128)
+    op_s = SpmmOperator.build(g, interpret=True, hub_split=0)
+    x = jnp.asarray(rng.standard_normal((g.n_dst, 16)).astype(np.float32))
+    w = jnp.asarray(rng.random(int(g.num_padded_edges)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(op_h(x, edge_weight=w)),
+        np.asarray(op_s(x, edge_weight=w)), rtol=1e-3, atol=1e-4)

@@ -203,6 +203,23 @@ def test_sharded_hub_split_unequal_visit_padding_no_double_add(rng):
     np.testing.assert_allclose(
         np.asarray(op(x)), np.asarray(spmm(g, x)), rtol=1e-4, atol=1e-4
     )
+    # runtime weights ride the same padded split arrays (fwd + dw + dx)
+    w = jnp.asarray(rng.random(int(g.num_padded_edges)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((512, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(op(x, edge_weight=w)),
+        np.asarray(spmm(g, x, edge_weight=w)), rtol=1e-4, atol=1e-4)
+    gx_d, gw_d = jax.grad(
+        lambda x, w: (op(x, edge_weight=w) * ct).sum(), argnums=(0, 1)
+    )(x, w)
+    gx_s, gw_s = jax.grad(
+        lambda x, w: (spmm(g, x, edge_weight=w) * ct).sum(), argnums=(0, 1)
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(gx_d), np.asarray(gx_s),
+                               rtol=1e-4, atol=1e-4)
+    e = g.num_edges
+    np.testing.assert_allclose(np.asarray(gw_d)[:e], np.asarray(gw_s)[:e],
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_sharded_hub_auto_plan_is_correct_either_way(rng):
