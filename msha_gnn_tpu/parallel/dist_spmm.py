@@ -168,6 +168,53 @@ class DistributedSpmm:
                          x_p)[: self.graph.n_src]
 
 
+def make_ring_fwd(mesh: Mesh, k: int, row_blk: int):
+    """Mesh-parameterised ring-forward factory.
+
+    Module-level (rather than a closure inside :class:`RingSpmm`) so the
+    scaling model can lower the EXACT production program against an AOT
+    TPU topology (``jax.experimental.topologies``) with abstract inputs —
+    no device transfers required — and inspect the optimized schedule for
+    collective-permute/compute overlap (VERDICT r2 #5).
+    """
+    perm = [(p, (p - 1) % k) for p in range(k)]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None, None),
+                  P("data", None, None), P("data", None)),
+        out_specs=P("data", None),
+        check_vma=False,
+    )
+    def _fwd(s_bkt, rl_bkt, w_bkt, x_shard):
+        i = jax.lax.axis_index("data")
+        s_bkt, rl_bkt, w_bkt = s_bkt[0], rl_bkt[0], w_bkt[0]
+        d = x_shard.shape[1]
+
+        def body(t, carry):
+            x_cur, acc = carry
+            shard_id = jax.lax.rem(i + t, k)
+            # start moving the next shard while this bucket reduces
+            x_next = jax.lax.ppermute(x_cur, "data", perm=perm)
+            sb = jax.lax.dynamic_index_in_dim(s_bkt, shard_id, 0, False)
+            rb = jax.lax.dynamic_index_in_dim(rl_bkt, shard_id, 0, False)
+            wb = jax.lax.dynamic_index_in_dim(w_bkt, shard_id, 0, False)
+            gathered = jnp.take(x_cur, rb, axis=0) * wb[:, None]
+            acc = acc + jax.ops.segment_sum(
+                gathered, sb, num_segments=row_blk + 1
+            )[:row_blk]
+            return (x_next, acc)
+
+        _, acc = jax.lax.fori_loop(
+            0, k, body,
+            (x_shard, jnp.zeros((row_blk, d), x_shard.dtype)),
+        )
+        return acc
+
+    return _fwd
+
+
 class RingSpmm:
     """Edge-partitioned SpMM with a ring schedule over the destination
     shards — the comm/compute-overlap formulation (SURVEY §5.8).
@@ -277,43 +324,9 @@ class RingSpmm:
 
     def _build_fwd(self):
         k, mesh, row_blk = self.k, self.mesh, self.row_blk
-        perm = [(p, (p - 1) % k) for p in range(k)]
-
-        @partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P("data", None, None), P("data", None, None),
-                      P("data", None, None), P("data", None)),
-            out_specs=P("data", None),
-            check_vma=False,
-        )
-        def _fwd(s_bkt, rl_bkt, w_bkt, x_shard):
-            i = jax.lax.axis_index("data")
-            s_bkt, rl_bkt, w_bkt = s_bkt[0], rl_bkt[0], w_bkt[0]
-            d = x_shard.shape[1]
-
-            def body(t, carry):
-                x_cur, acc = carry
-                shard_id = jax.lax.rem(i + t, k)
-                # start moving the next shard while this bucket reduces
-                x_next = jax.lax.ppermute(x_cur, "data", perm=perm)
-                sb = jax.lax.dynamic_index_in_dim(s_bkt, shard_id, 0, False)
-                rb = jax.lax.dynamic_index_in_dim(rl_bkt, shard_id, 0, False)
-                wb = jax.lax.dynamic_index_in_dim(w_bkt, shard_id, 0, False)
-                gathered = jnp.take(x_cur, rb, axis=0) * wb[:, None]
-                acc = acc + jax.ops.segment_sum(
-                    gathered, sb, num_segments=row_blk + 1
-                )[:row_blk]
-                return (x_next, acc)
-
-            _, acc = jax.lax.fori_loop(
-                0, k, body,
-                (x_shard, jnp.zeros((row_blk, d), x_shard.dtype)),
-            )
-            return acc
-
-        self._ring_fwd = _fwd
+        self._ring_fwd = make_ring_fwd(mesh, k, row_blk)
         dst_blk = self.dst_blk
+        perm = [(p, (p - 1) % k) for p in range(k)]
 
         @partial(
             jax.shard_map,

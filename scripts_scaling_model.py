@@ -131,6 +131,74 @@ def lower_bytes(fn, k, *args):
     return ops, sum(o["wire_bytes_per_chip"] for o in ops)
 
 
+def analyze_tpu_ring_schedule(k=8, row_blk=4096, dst_blk=4096, e_b=32768,
+                              d=64):
+    """Evidence for the overlap claim (VERDICT r2 #5): AOT-compile the
+    EXACT production ring program (``make_ring_fwd``) against a real
+    v5e 2x4 TPU topology (``jax.experimental.topologies`` — compile-only,
+    no devices) and walk the OPTIMIZED, SCHEDULED module.
+
+    Returns a dict with, per collective-permute-start/-done pair in the
+    while-loop body, the number of compute ops (fusions/dots) the TPU
+    scheduler placed BETWEEN start and done — >0 means the transfer of
+    shard t+1 rides ICI under shard t's bucket reduce (overlapped);
+    0 means XLA serialised the ring and the overlap efficiency column is
+    not earned.
+    """
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from msha_gnn_tpu.parallel.dist_spmm import make_ring_fwd
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name="v5e:2x4")
+    mesh = Mesh(np.asarray(topo.devices).reshape(k), ("data",))
+    fwd = make_ring_fwd(mesh, k, row_blk)
+    nd3 = NamedSharding(mesh, P("data", None, None))
+    ndx = NamedSharding(mesh, P("data", None))
+
+    def sds(shape, dt, sh):
+        return jax.ShapeDtypeStruct(shape, dt, sharding=sh)
+
+    txt = jax.jit(fwd).lower(
+        sds((k, k, e_b), jnp.int32, nd3),
+        sds((k, k, e_b), jnp.int32, nd3),
+        sds((k, k, e_b), jnp.float32, nd3),
+        sds((k * dst_blk, d), jnp.float32, ndx),
+    ).compile().as_text()
+
+    assert "is_scheduled=true" in txt, "expected a scheduled TPU module"
+    lines = txt.splitlines()
+    compute_pat = re.compile(r"= .*\b(fusion|dot|convolution|scatter)\(")
+    pairs = []
+    for i, ln in enumerate(lines):
+        m = re.search(r"%?([\w.-]+)\s*=\s*\(.*\)\s*collective-permute-start\(",
+                      ln)
+        if not m:
+            continue
+        name = m.group(1)
+        done_idx = None
+        for j in range(i + 1, len(lines)):
+            if ("collective-permute-done" in lines[j]
+                    and name in lines[j]):
+                done_idx = j
+                break
+        if done_idx is None:
+            continue
+        between = sum(
+            1 for ln2 in lines[i + 1: done_idx] if compute_pat.search(ln2)
+        )
+        pairs.append({"start_line": i, "done_line": done_idx,
+                      "compute_ops_between": between})
+    overlapped = bool(pairs) and all(p["compute_ops_between"] > 0
+                                     for p in pairs)
+    return {
+        "topology": "v5e:2x4", "k": k, "e_bucket": e_b, "d": d,
+        "permute_pairs": pairs,
+        "scheduler_overlaps": overlapped,
+    }
+
+
 def main():
     from msha_gnn_tpu.bench import make_powerlaw_graph
     from msha_gnn_tpu.parallel import make_mesh
@@ -194,6 +262,37 @@ def main():
               f"ring fwd {b_ring/1e6:.2f} MB/chip "
               f"(eff {row['ring_fwd_eff_serial']:.2f} serial / "
               f"{row['ring_fwd_eff_overlap']:.2f} overlapped)")
+
+    # ---- TPU-scheduled overlap evidence (VERDICT r2 #5) ----
+    # The overlap column above is a bandwidth model; whether it is EARNED
+    # depends on the TPU scheduler bracketing the per-shard compute with
+    # collective-permute-start/-done.  Verify on the real target: AOT
+    # compile against a v5e 2x4 topology and walk the schedule.
+    try:
+        sched = analyze_tpu_ring_schedule(k=8)
+        results["tpu_schedule"] = sched
+        if not sched["scheduler_overlaps"]:
+            # not earned: overwrite the modelled overlap column with the
+            # serialised value so the headline never overstates
+            for row_ in results["meshes"]:
+                row_["ring_fwd_eff_overlap"] = row_["ring_fwd_eff_serial"]
+            results["overlap_note"] = (
+                "TPU schedule serialises the ring permute; overlap column "
+                "collapsed to serial")
+        else:
+            results["overlap_note"] = (
+                "TPU v5e:2x4 AOT schedule brackets per-shard compute "
+                "between collective-permute-start/-done — overlap earned")
+        print(f"tpu schedule: overlaps={sched['scheduler_overlaps']} "
+              f"pairs={[(p['compute_ops_between']) for p in sched['permute_pairs']]}")
+    except Exception as ex:
+        results["tpu_schedule"] = {"error": f"{type(ex).__name__}: {ex}"}
+        for row_ in results["meshes"]:
+            row_["ring_fwd_eff_overlap"] = row_["ring_fwd_eff_serial"]
+        results["overlap_note"] = (
+            "TPU AOT lowering unavailable; overlap column conservatively "
+            "collapsed to serial")
+        print("tpu schedule analysis failed:", ex)
 
     with open("SCALING_MODEL.json", "w") as f:
         json.dump(results, f, indent=2)
