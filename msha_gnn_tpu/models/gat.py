@@ -139,6 +139,8 @@ class SparseGATLayer(nn.Module):
     dropout: float = 0.5
     self_concat: bool = False
     negative_slope: float = 0.2
+    precision: str = "f32"   # 'bf16': stream features to the aggregation
+                             # in bfloat16 (f32 accumulation, ~2^-8 rel)
 
     @nn.compact
     def __call__(
@@ -186,7 +188,8 @@ class SparseGATLayer(nn.Module):
         spmm_impl = "pallas" if impl == "flash" else impl
         att = edge_softmax(graph, logits)
         att = nn.Dropout(self.dropout, deterministic=not train)(att)
-        return elu(spmm(graph, h_dst, edge_weight=att, impl=spmm_impl))
+        return elu(spmm(graph, h_dst, edge_weight=att, impl=spmm_impl,
+                        precision=self.precision))
 
 
 class SparseGAT(nn.Module):
@@ -202,6 +205,7 @@ class SparseGAT(nn.Module):
     out_features: int
     n_heads: int = 2
     dropout: float = 0.5
+    precision: str = "f32"
 
     @nn.compact
     def __call__(
@@ -210,6 +214,7 @@ class SparseGAT(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         heads = [
             SparseGATLayer(self.in_features, self.hidden, self.dropout,
+                           precision=self.precision,
                            name=f"attention_{i}")(graph, x, x, train=train, impl=impl)
             for i in range(self.n_heads)
         ]
@@ -217,5 +222,5 @@ class SparseGAT(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return SparseGATLayer(
             self.hidden * self.n_heads, self.out_features, self.dropout,
-            name="out_att",
+            precision=self.precision, name="out_att",
         )(graph, h, h, train=train, impl=impl)

@@ -638,18 +638,25 @@ def _hub_kernel(bid_ref, cs_ref, first_ref, senders_ref, w_ref, hubpos_ref,
     scat_lo = (scat - scat_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     hub_cols = jax.lax.broadcasted_iota(jnp.int32, (e_chunk, n_hub), 1)
     eoh = (hub_cols == hubpos_ref[:]).astype(jnp.bfloat16)  # [E_CHUNK, H]
-    coef = jnp.dot(scat_hi, eoh, preferred_element_type=jnp.float32)
-    coef += jnp.dot(scat_lo, eoh, preferred_element_type=jnp.float32)
     t = table_ref[:]
-    t_hi = t.astype(jnp.bfloat16)
-    t_lo = (t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    c_hi = coef.astype(jnp.bfloat16)
-    c_lo = (coef - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    out_ref[:] += (
-        jnp.dot(c_hi, t_hi, preferred_element_type=jnp.float32)
-        + jnp.dot(c_hi, t_lo, preferred_element_type=jnp.float32)
-        + jnp.dot(c_lo, t_hi, preferred_element_type=jnp.float32)
-    )
+    if t.dtype == jnp.bfloat16:
+        # bf16 mode (precision='bf16'): single compose + single
+        # projection pass — ~2^-8 relative error, 3x fewer MXU passes
+        coef = jnp.dot(scat_hi, eoh, preferred_element_type=jnp.float32)
+        out_ref[:] += jnp.dot(coef.astype(jnp.bfloat16), t,
+                              preferred_element_type=jnp.float32)
+    else:
+        coef = jnp.dot(scat_hi, eoh, preferred_element_type=jnp.float32)
+        coef += jnp.dot(scat_lo, eoh, preferred_element_type=jnp.float32)
+        t_hi = t.astype(jnp.bfloat16)
+        t_lo = (t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        c_hi = coef.astype(jnp.bfloat16)
+        c_lo = (coef - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out_ref[:] += (
+            jnp.dot(c_hi, t_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(c_hi, t_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(c_lo, t_hi, preferred_element_type=jnp.float32)
+        )
 
 
 def _hub_visit_reduce(table, part: _HubPart, interpret: bool,
@@ -887,9 +894,10 @@ def _apply_static_dir(dir_full: _Direction, split: Optional[_HubSplit], x,
                                 precision)
     d_feat = x.shape[1]
     d_pad = _round_up(d_feat, LANE)
+    t_dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     out = None
     if split.hub is not None:
-        table = jnp.take(x, split.hub.hub_ids, axis=0).astype(jnp.float32)
+        table = jnp.take(x, split.hub.hub_ids, axis=0).astype(t_dt)
         if d_pad != d_feat:
             table = jnp.pad(table, ((0, 0), (0, d_pad - d_feat)))
         out = _hub_visit_reduce(table, split.hub, interpret)[
@@ -939,7 +947,8 @@ def _apply_weighted_dir(dir_full: _Direction, split: Optional[_HubSplit],
         # schedule — cold/pad edges self-mask via the hubpos sentinel —
         # so the weights stream in direction order with no hub permute
         # (for the forward direction that is the raw attention vector).
-        table = jnp.take(x, split.hub.hub_ids, axis=0).astype(jnp.float32)
+        table = jnp.take(x, split.hub.hub_ids, axis=0).astype(
+            jnp.bfloat16 if precision == "bf16" else jnp.float32)
         if d_pad != d_feat:
             table = jnp.pad(table, ((0, 0), (0, d_pad - d_feat)))
         w_dir = _order_w(dir_full, w_src)
@@ -1343,12 +1352,18 @@ def spmm_pallas(
     edge_weight: Optional[Array] = None,
     transpose: bool = False,
     interpret: Optional[bool] = None,
+    precision: str = "f32",
 ) -> Array:
-    """Convenience wrapper around a cached :class:`SpmmOperator`."""
-    key = (id(graph.senders), interpret)
+    """Convenience wrapper around a cached :class:`SpmmOperator`.
+
+    ``precision='bf16'`` streams the gathered/hub-table features in
+    bfloat16 with f32 accumulation (~2^-8 relative error — the standard
+    TPU training trade)."""
+    key = (id(graph.senders), interpret, precision)
     op = _OP_CACHE.get(key)
     if op is None or op.graph.senders is not graph.senders:
-        op = SpmmOperator.build(graph, interpret=interpret)
+        op = SpmmOperator.build(graph, interpret=interpret,
+                                precision=precision)
         _OP_CACHE[key] = op
         if len(_OP_CACHE) > 16:
             _OP_CACHE.pop(next(iter(_OP_CACHE)))

@@ -35,18 +35,27 @@ def spmm(
     edge_weight: Optional[Array] = None,
     transpose: bool = False,
     impl: str = "xla",
+    precision: str = "f32",
 ) -> Array:
     """``A @ x`` (or ``A.T @ x``) with A the [n_src, n_dst] edge-weight matrix.
 
     x: [n_dst, d] (or [n_src, d] when transposed).  Returns [n_src, d]
     (or [n_dst, d]).  ``edge_weight`` overrides the stored weights (e.g. with
     attention coefficients from :func:`edge_softmax`).
+
+    ``precision='bf16'`` (Pallas impl: streamed features in bfloat16 with
+    f32 accumulation; XLA impl: the gathered rows are cast to bfloat16
+    before the weighted segment sum) trades ~2^-8 relative error for
+    roughly half the feature HBM traffic — the standard TPU training mix.
     """
     w = graph.weight if edge_weight is None else edge_weight
     if impl == "pallas":
         from .pallas.spmm import spmm_pallas
 
-        return spmm_pallas(graph, x, edge_weight=w, transpose=transpose)
+        return spmm_pallas(graph, x, edge_weight=w, transpose=transpose,
+                           precision=precision)
+    if precision == "bf16":
+        x = x.astype(jnp.bfloat16)
     if transpose:
         gathered = _gather_rows(x, graph.senders, graph.n_src)
         return segment_sum(gathered * w[:, None], graph.receivers, graph.n_dst)

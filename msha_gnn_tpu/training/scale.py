@@ -46,6 +46,9 @@ class ScaleConfig:
     batch_edges: int = 8192    # positive edges scored per step
     seed: int = 0
     negative_slope: float = 0.2
+    precision: str = "f32"     # 'bf16': aggregate activations in bfloat16
+                               # (params/optimizer stay f32; ~2^-8 rel err
+                               # on the aggregation inputs)
 
 
 def _init_params(key, n_nodes: int, d: int):
@@ -73,7 +76,9 @@ def _encode(params, senders, receivers, n_nodes, aggregate, cfg):
         cfg.negative_slope,
     )                                                    # [E]
     att = segment_softmax(logits, senders, n_nodes)      # [E]
-    return jax.nn.elu(aggregate(h, att)) + h             # residual
+    h_agg = (h.astype(jnp.bfloat16) if cfg.precision == "bf16" else h)
+    agg = aggregate(h_agg, att).astype(jnp.float32)
+    return jax.nn.elu(agg) + h                           # residual
 
 
 def _make_loss(senders, receivers, n_nodes, aggregate, cfg):
