@@ -290,29 +290,27 @@ class ShardedPallasSpmm:
         ).astype(np.int32)
         c_w = stack_edges("cw", e_ch_c, 0.0).astype(np.float32)
 
-        # runtime-weight plumbing (VERDICT r2 #1, sharded): per-shard
-        # perms hub/cold-position -> shard-CSR position (pad -> E_max, the
-        # appended-zero slot of the shard weight vector), chunk-first
-        # flags for the split SDDMM, and the inverse ``unsplit`` map
-        # shard-CSR position -> concat([hub, cold, 0]) position.
+        # Runtime-weight plumbing (VERDICT r2 #1, sharded) — DENSE hub,
+        # mirroring the single-chip layout: ``hubpos_dense`` ranks every
+        # shard-CSR edge in the shard's hub table (sentinel h for cold
+        # and pad edges), so the hub compose runs over the shard's FULL
+        # forward visit schedule with the weight slice streamed in
+        # shard-CSR order — zero hub permute.  Only the small cold part
+        # keeps compaction: ``c_perm`` routes its weights (one fill-take)
+        # and ``c_pos`` scatters its SDDMM logits back into the
+        # shard-CSR dw vector (pad slots -> OOB, dropped by the scatter).
         e_max = self._e_max
-        h_perm = np.stack([
-            _pad_to(p["h_idx"], e_ch_h, e_max) for p in parts
-        ]).astype(np.int32)
         c_perm = np.stack([
             _pad_to(p["c_idx"], e_ch_c, e_max) for p in parts
         ]).astype(np.int32)
-        # per-part inverse maps (shard-CSR position -> part position, OOB
-        # sentinel elsewhere): the dw un-split is two plain fill-takes on
-        # the raw kernel outputs — a take on a concat operand would fuse
-        # and scalarise (see ops/pallas/spmm._order_w)
-        h_inv = np.full((len(parts), e_max), e_ch_h, np.int64)
-        c_inv = np.full((len(parts), e_max), e_ch_c, np.int64)
+        n_cold_max = max(max(len(p["c_idx"]) for p in parts), 1)
+        c_pos = np.stack([
+            _pad_to(p["c_idx"], n_cold_max, e_max) for p in parts
+        ]).astype(np.int32)
+        hpd = np.full((len(parts), e_max), h, np.int64)
         for i, p in enumerate(parts):
-            h_inv[i, p["h_idx"]] = np.arange(len(p["h_idx"]))
-            c_inv[i, p["c_idx"]] = np.arange(len(p["c_idx"]))
-        h_inv = h_inv.astype(np.int32)
-        c_inv = c_inv.astype(np.int32)
+            hpd[i, p["h_idx"]] = p["hp"]
+        hpd = hpd.astype(np.int32)
 
         def cfirst_of(cs_stack):
             cf = np.ones_like(cs_stack)
@@ -320,20 +318,18 @@ class ShardedPallasSpmm:
                 cs_stack.dtype)
             return cf
 
-        h_cs_stack = stack_visits(1, "h_sched", v_h, e_ch_h)
         c_cs_stack = stack_visits(1, "c_sched", v_c, e_ch_c)
         return tuple(put(a) for a in (
             h_snd, h_pos, h_w, h_ids,
             stack_visits(0, "h_sched", v_h, e_ch_h),
-            h_cs_stack,
+            stack_visits(1, "h_sched", v_h, e_ch_h),
             stack_visits(2, "h_sched", v_h, e_ch_h),
             c_snd, c_recv, c_w,
             stack_visits(0, "c_sched", v_c, e_ch_c),
             c_cs_stack,
             stack_visits(2, "c_sched", v_c, e_ch_c),
             stack_visits(3, "c_sched", v_c, e_ch_c),
-            cfirst_of(h_cs_stack), cfirst_of(c_cs_stack),
-            h_perm, c_perm, h_inv, c_inv,
+            cfirst_of(c_cs_stack), c_perm, c_pos, hpd,
         ))
 
     # ------------------------------------------------------------------
@@ -424,13 +420,16 @@ class ShardedPallasSpmm:
         _bwd_dw_split = None
         if self._split is not None:
             spec_h = P("data", None)
-            e_max_ = self._e_max
 
-            def _split_fwd_body(h_pos, h_ids, h_bid, h_cs, h_first,
-                                c_recv, c_bid, c_cs, c_first, c_last,
-                                h_snd, c_snd, w_h, w_c, x_shard):
-                """Shared shard body: hub table compose + cold gather with
-                the given (static or runtime) part-ordered weights."""
+            @partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(spec_h,) * 18 + (P("data", None),),
+                out_specs=P("data", None), check_vma=False,
+            )
+            def _fwd_split(h_snd, h_pos, h_w, h_ids, h_bid, h_cs, h_first,
+                           c_snd, c_recv, c_w, c_bid, c_cs, c_first, c_last,
+                           c_cfirst, c_perm, c_pos, hpd, x_shard):
+                # static weights: compacted hub (baked arrays) + cold
                 x_full = jax.lax.all_gather(
                     x_shard, "data", axis=0, tiled=True
                 )
@@ -442,9 +441,49 @@ class ShardedPallasSpmm:
                 if d_pad != d:
                     table = jnp.pad(table, ((0, 0), (0, d_pad - d)))
                 out = _hub_reduce_raw(
-                    table, h_snd[0], w_h, h_pos[0], h_bid[0], h_cs[0],
+                    table, h_snd[0], h_w[0], h_pos[0], h_bid[0], h_cs[0],
                     h_first[0], row_blk, interp,
                 )
+                gathered = jnp.take(x_full, c_recv[0], axis=0)
+                if d_pad != d:
+                    gathered = jnp.pad(gathered, ((0, 0), (0, d_pad - d)))
+                out = out + _visit_reduce_raw(
+                    gathered, c_w[0], c_snd[0], c_bid[0], c_cs[0],
+                    c_first[0], c_last[0], row_blk, interp,
+                )
+                return out[:, :d]
+
+            # runtime-weight hub-split forward (VERDICT r2 #1): DENSE hub
+            # — the compose runs over the shard's FULL forward schedule
+            # with the weight slice streamed in shard-CSR order (zero hub
+            # permute; cold/pad edges self-mask via the hubpos sentinel);
+            # only the small cold part pays one fill-take
+            @partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(spec_h,) * 18 + (spec_e, spec_v, spec_v, spec_v,
+                                           spec_e, P("data", None)),
+                out_specs=P("data", None), check_vma=False,
+            )
+            def _fwd_split_w(h_snd, h_pos, h_w, h_ids, h_bid, h_cs,
+                             h_first, c_snd, c_recv, c_w, c_bid, c_cs,
+                             c_first, c_last, c_cfirst, c_perm, c_pos, hpd,
+                             f_snd, f_bid, f_cs, f_first, w_s, x_shard):
+                x_full = jax.lax.all_gather(
+                    x_shard, "data", axis=0, tiled=True
+                )
+                d = x_full.shape[1]
+                d_pad = _round_up(d, LANE)
+                table = jnp.take(x_full, h_ids[0], axis=0).astype(
+                    jnp.float32
+                )
+                if d_pad != d:
+                    table = jnp.pad(table, ((0, 0), (0, d_pad - d)))
+                out = _hub_reduce_raw(
+                    table, f_snd[0], w_s[0].astype(jnp.float32), hpd[0],
+                    f_bid[0], f_cs[0], f_first[0], row_blk, interp,
+                )
+                w_c = jnp.take(w_s[0], c_perm[0], mode="fill",
+                               fill_value=0.0).astype(jnp.float32)
                 gathered = jnp.take(x_full, c_recv[0], axis=0)
                 if d_pad != d:
                     gathered = jnp.pad(gathered, ((0, 0), (0, d_pad - d)))
@@ -454,56 +493,21 @@ class ShardedPallasSpmm:
                 )
                 return out[:, :d]
 
+            # hub-split dw adjoint (VERDICT r2 #2, sharded): the dense-hub
+            # SDDMM writes logits directly in shard-CSR order (cold edges
+            # produce 0); the compacted cold logits scatter back via c_pos
             @partial(
                 jax.shard_map, mesh=mesh,
-                in_specs=(spec_h,) * 20 + (P("data", None),),
-                out_specs=P("data", None), check_vma=False,
-            )
-            def _fwd_split(h_snd, h_pos, h_w, h_ids, h_bid, h_cs, h_first,
-                           c_snd, c_recv, c_w, c_bid, c_cs, c_first, c_last,
-                           h_cfirst, c_cfirst, h_perm, c_perm, h_inv,
-                           c_inv, x_shard):
-                return _split_fwd_body(
-                    h_pos, h_ids, h_bid, h_cs, h_first, c_recv, c_bid,
-                    c_cs, c_first, c_last, h_snd, c_snd, h_w[0], c_w[0],
-                    x_shard)
-
-            # runtime-weight hub-split forward (VERDICT r2 #1): the
-            # shard's CSR-order attention slice reaches the two parts
-            # through the precomputed static perms — two cheap takes
-            @partial(
-                jax.shard_map, mesh=mesh,
-                in_specs=(spec_h,) * 20 + (spec_e, P("data", None)),
-                out_specs=P("data", None), check_vma=False,
-            )
-            def _fwd_split_w(h_snd, h_pos, h_w, h_ids, h_bid, h_cs,
-                             h_first, c_snd, c_recv, c_w, c_bid, c_cs,
-                             c_first, c_last, h_cfirst, c_cfirst, h_perm,
-                             c_perm, h_inv, c_inv, w_s, x_shard):
-                # plain fill-takes on the raw shard weight row: gathering
-                # through a concat operand fuses + scalarises (~250x, see
-                # ops/pallas/spmm._order_w)
-                w_h = jnp.take(w_s[0], h_perm[0], mode="fill",
-                               fill_value=0.0)
-                w_c = jnp.take(w_s[0], c_perm[0], mode="fill",
-                               fill_value=0.0)
-                return _split_fwd_body(
-                    h_pos, h_ids, h_bid, h_cs, h_first, c_recv, c_bid,
-                    c_cs, c_first, c_last, h_snd, c_snd, w_h, w_c, x_shard)
-
-            # hub-split dw adjoint (VERDICT r2 #2, sharded): hub edges'
-            # x rows come from the VMEM table compose; part outputs
-            # return to shard-CSR order via the per-shard unsplit take
-            @partial(
-                jax.shard_map, mesh=mesh,
-                in_specs=(spec_h,) * 20 + (P("data", None),
+                in_specs=(spec_h,) * 18 + (spec_e, spec_v, spec_v, spec_v,
+                                           P("data", None),
                                            P("data", None)),
                 out_specs=P("data", None), check_vma=False,
             )
             def _bwd_dw_split(h_snd, h_pos, h_w, h_ids, h_bid, h_cs,
                               h_first, c_snd, c_recv, c_w, c_bid, c_cs,
-                              c_first, c_last, h_cfirst, c_cfirst, h_perm,
-                              c_perm, h_inv, c_inv, g_shard, x_shard):
+                              c_first, c_last, c_cfirst, c_perm, c_pos,
+                              hpd, f_snd, f_bid, f_cs, f_cfirst, g_shard,
+                              x_shard):
                 x_full = jax.lax.all_gather(
                     x_shard, "data", axis=0, tiled=True
                 )
@@ -517,9 +521,9 @@ class ShardedPallasSpmm:
                 )
                 if d_pad != d:
                     table = jnp.pad(table, ((0, 0), (0, d_pad - d)))
-                dw_h = _sddmm_hub_raw(
-                    table, h_snd[0], h_pos[0], h_bid[0], h_cs[0],
-                    h_cfirst[0], g_p, interp,
+                dw = _sddmm_hub_raw(
+                    table, f_snd[0], hpd[0], f_bid[0], f_cs[0],
+                    f_cfirst[0], g_p, interp,
                 )
                 dst_ord = jnp.take(x_full, c_recv[0], axis=0)
                 if d_pad != d:
@@ -528,10 +532,9 @@ class ShardedPallasSpmm:
                     g_p, dst_ord, c_snd[0], c_bid[0], c_cs[0],
                     c_cfirst[0], interp,
                 )
-                dw = (
-                    jnp.take(dw_h, h_inv[0], mode="fill", fill_value=0.0)
-                    + jnp.take(dw_c, c_inv[0], mode="fill", fill_value=0.0)
-                )
+                n_cold = c_pos.shape[1]
+                # pad slots of c_pos are out of bounds -> dropped
+                dw = dw.at[c_pos[0]].set(dw_c[:n_cold])
                 return dw[None]
 
         f_snd, f_recv, f_w, f_bid, f_cs, f_first, f_last = self._f
@@ -556,7 +559,8 @@ class ShardedPallasSpmm:
         def apply_fn(x, w):
             w_s = self.partition_weights(w)
             if split is not None:
-                return _fwd_split_w(*split, w_s, pad_x(x))[:n_src]
+                return _fwd_split_w(*split, f_snd, f_bid, f_cs, f_first,
+                                    w_s, pad_x(x))[:n_src]
             return _fwd(f_snd, f_recv, f_bid, f_cs, f_first, f_last, w_s,
                         pad_x(x))[:n_src]
 
@@ -579,7 +583,8 @@ class ShardedPallasSpmm:
             dx = _bwd_dx(t_snd, t_recv, t_bid, t_cs, t_first, t_last,
                          w_ts, g_p)[:n_dst]
             if split is not None:
-                dws = _bwd_dw_split(*split, g_p, pad_x(x))
+                dws = _bwd_dw_split(*split, f_snd, f_bid, f_cs,
+                                    cfirst_f, g_p, pad_x(x))
             else:
                 dws = _bwd_dw(f_snd, f_recv, f_bid, f_cs, cfirst_f, g_p,
                               pad_x(x))
