@@ -185,9 +185,16 @@ def main():
             from msha_gnn_tpu.training.scale import (
                 ScaleConfig, _init_params, _make_loss)
 
+            from msha_gnn_tpu.ops.pallas.softmax import (
+                SegmentSoftmaxOperator)
+
             e_real = int(g.num_edges)
             snd = jnp.asarray(np.asarray(g.senders)[:e_real])
             rcv = jnp.asarray(np.asarray(g.receivers)[:e_real])
+            snd_np = np.asarray(g.senders)[:e_real]
+            cnt_np = np.bincount(snd_np, minlength=n)
+            sm_op = SegmentSoftmaxOperator(
+                snd_np, np.concatenate([[0], np.cumsum(cnt_np)]), n)
             rng_b = np.random.default_rng(11)
             batch = tuple(
                 jnp.asarray(rng_b.integers(0, n, 8192).astype(np.int32))
@@ -199,7 +206,8 @@ def main():
                 def agg(h, att):
                     return o(h, edge_weight=jnp.pad(
                         att, (0, e_pad - att.shape[0])))
-                loss_fn = _make_loss(snd, rcv, n, agg, cfg_s)
+                loss_fn = _make_loss(snd, rcv, n, agg, cfg_s,
+                                     softmax=sm_op)
                 STEPS = 8
 
                 @jax.jit
@@ -282,6 +290,64 @@ def main():
             "speedup_vs_xla_separate": t_sep / t_fl,
         }
         print(f"flash done t={time.time()-t_start:.0f}s", file=sys.stderr)
+
+        # sorted-segment softmax kernels (r3) — the materialised-attention
+        # path every training layer runs (dropout needs explicit weights)
+        from msha_gnn_tpu.ops.pallas.softmax import edge_softmax_pallas
+
+        ct_e = jnp.asarray(
+            rng.standard_normal(int(e_pad)).astype(np.float32))
+        t_sm = _timeit_chain(lambda l: edge_softmax_pallas(g, l), logits)
+        t_sm_x = _timeit_chain(lambda l: edge_softmax(g, l), logits)
+        t_smg = _timeit_chain(lambda l: jax.grad(
+            lambda l: jnp.vdot(edge_softmax_pallas(g, l), ct_e))(l), logits)
+        t_smg_x = _timeit_chain(lambda l: jax.grad(
+            lambda l: jnp.vdot(edge_softmax(g, l), ct_e))(l), logits)
+        details["segment_softmax"] = {
+            "seconds": t_sm, "seconds_xla": t_sm_x,
+            "speedup_vs_xla": t_sm_x / t_sm,
+            "fwd_grad_seconds": t_smg, "fwd_grad_seconds_xla": t_smg_x,
+            "fwd_grad_speedup": t_smg_x / t_smg,
+        }
+
+        # full attention TRAINING pipeline (rank-1 logits -> segment
+        # softmax -> weighted aggregation), forward + full gradient:
+        # all-Pallas vs the r2 state (Pallas aggregation, XLA rest)
+        from msha_gnn_tpu.ops import sddmm as sddmm_rank1
+        from msha_gnn_tpu.ops.pallas.sddmm import sddmm_pallas
+
+        s_src_v = jnp.asarray(
+            rng.standard_normal(g.n_src).astype(np.float32))
+        s_dst_v = jnp.asarray(
+            rng.standard_normal(g.n_dst).astype(np.float32))
+        ct_n = jnp.asarray(
+            rng.standard_normal((n, d)).astype(np.float32))
+
+        def pipe_new(a, b, x):
+            att = edge_softmax_pallas(g, sddmm_pallas(g, a, b))
+            return op(x, edge_weight=att)
+
+        def pipe_r2(a, b, x):
+            att = edge_softmax(g, sddmm_rank1(g, a, b))
+            return op_ns(x, edge_weight=att)
+
+        def gr(f):
+            return lambda a, b, x: jax.grad(
+                lambda a, b, x: jnp.vdot(f(a, b, x), ct_n),
+                argnums=(0, 1, 2))(a, b, x)
+        t_pi = _timeit_chain(pipe_new, s_src_v, s_dst_v, x)
+        t_pi2 = _timeit_chain(pipe_r2, s_src_v, s_dst_v, x)
+        t_pig = _timeit_chain(gr(pipe_new), s_src_v, s_dst_v, x)
+        t_pig2 = _timeit_chain(gr(pipe_r2), s_src_v, s_dst_v, x)
+        details["attention_pipeline"] = {
+            "seconds": t_pi, "seconds_r2_state": t_pi2,
+            "speedup_vs_r2": t_pi2 / t_pi,
+            "fwd_grad_seconds": t_pig, "fwd_grad_seconds_r2": t_pig2,
+            "fwd_grad_speedup_vs_r2": t_pig2 / t_pig,
+            "edges_per_s_fwd_grad": e / t_pig,
+        }
+        print(f"softmax/pipeline done t={time.time()-t_start:.0f}s",
+              file=sys.stderr)
 
         # SDDMM roofline (BASELINE names BOTH kernels in the >=60% target).
         # Traffic floor mirrors the SpMM strict/two-phase accounting:

@@ -186,7 +186,7 @@ class SparseGATLayer(nn.Module):
                     cache.pop(next(iter(cache)))
             return elu(op(logits, h_dst))
         spmm_impl = "pallas" if impl == "flash" else impl
-        att = edge_softmax(graph, logits)
+        att = edge_softmax(graph, logits, impl=spmm_impl)
         att = nn.Dropout(self.dropout, deterministic=not train)(att)
         return elu(spmm(graph, h_dst, edge_weight=att, impl=spmm_impl,
                         precision=self.precision))

@@ -1,5 +1,6 @@
 from .flash_gat import FlashGATOperator, flash_gat_aggregate
 from .sddmm import SddmmOperator, sddmm_dot_pallas, sddmm_pallas
+from .softmax import SegmentSoftmaxOperator, edge_softmax_pallas
 from .spmm import SpmmOperator, segment_reduce_sorted, spmm_pallas
 
 __all__ = [
@@ -9,6 +10,8 @@ __all__ = [
     "segment_reduce_sorted",
     "spmm_pallas",
     "SddmmOperator",
+    "SegmentSoftmaxOperator",
+    "edge_softmax_pallas",
     "sddmm_dot_pallas",
     "sddmm_pallas",
 ]

@@ -116,14 +116,25 @@ def edge_softmax(
     logits: Array,
     *,
     per: str = "src",
+    impl: str = "xla",
 ) -> Array:
     """Softmax of per-edge logits over each source row (``per='src'``) or
     destination column (``per='dst'``).
 
     Equivalent to the reference's masked dense row softmax
     (``train.py:80-82``) restricted to the edge set.
+
+    ``impl='pallas'`` (``per='src'`` only) runs the sorted-segment kernels
+    of :mod:`~msha_gnn_tpu.ops.pallas.softmax` — the XLA formulation pays
+    two scatter reductions plus two per-edge scalar gathers of the row
+    stats (~65 ms at 2M edges on v5e); the kernels keep row state in VMEM
+    and select row values block-locally (~8x).
     """
     if per == "src":
+        if impl == "pallas":
+            from .pallas.softmax import edge_softmax_pallas
+
+            return edge_softmax_pallas(graph, logits)
         return segment_softmax(
             logits, graph.senders, graph.n_src, mask=graph.edge_mask
         )

@@ -61,11 +61,15 @@ def _init_params(key, n_nodes: int, d: int):
     }
 
 
-def _encode(params, senders, receivers, n_nodes, aggregate, cfg):
+def _encode(params, senders, receivers, n_nodes, aggregate, cfg,
+            softmax=None):
     """Shared encoder: rank-1 GAT attention + pluggable aggregation.
 
     ``aggregate(h, att)`` is the placement-specific weighted SpMM: chunked
     (out-of-core) or distributed (shard_map) — both differentiable.
+    ``softmax``: optional sorted-segment softmax operator (the Pallas
+    kernels of ``ops/pallas/softmax.py`` — the XLA formulation costs
+    ~65 ms fwd / ~200 ms bwd at 2M edges on v5e vs ~5/6 ms).
     """
     h = params["feat"] @ params["W"]                     # [N, d]
     d = cfg.d
@@ -75,15 +79,19 @@ def _encode(params, senders, receivers, n_nodes, aggregate, cfg):
         jnp.take(s_src, senders) + jnp.take(s_dst, receivers),
         cfg.negative_slope,
     )                                                    # [E]
-    att = segment_softmax(logits, senders, n_nodes)      # [E]
+    if softmax is not None:
+        att = softmax(logits)                            # [E]
+    else:
+        att = segment_softmax(logits, senders, n_nodes)  # [E]
     h_agg = (h.astype(jnp.bfloat16) if cfg.precision == "bf16" else h)
     agg = aggregate(h_agg, att).astype(jnp.float32)
     return jax.nn.elu(agg) + h                           # residual
 
 
-def _make_loss(senders, receivers, n_nodes, aggregate, cfg):
+def _make_loss(senders, receivers, n_nodes, aggregate, cfg, softmax=None):
     def loss_fn(params, pos_s, pos_r, neg_s, neg_r):
-        z = _encode(params, senders, receivers, n_nodes, aggregate, cfg)
+        z = _encode(params, senders, receivers, n_nodes, aggregate, cfg,
+                    softmax=softmax)
         pos = jnp.sum(z[pos_s] * z[pos_r], axis=1)
         neg = jnp.sum(z[neg_s] * z[neg_r], axis=1)
         # BCE on link scores (the reference's intended loss, §2.2 #3)
@@ -169,7 +177,17 @@ def train_chunked(senders, receivers, n_nodes: int,
     def aggregate(h, att):
         return op.apply(h, att)
 
-    loss_fn = _make_loss(senders_dev, receivers_dev, n_nodes, aggregate, cfg)
+    # sorted-segment Pallas softmax: streams only [E] scalars, so it
+    # composes with the out-of-core aggregation at any edge count
+    from ..ops.pallas.softmax import SegmentSoftmaxOperator
+
+    cnt = np.bincount(s, minlength=n_nodes)
+    row_ptr = np.concatenate([[0], np.cumsum(cnt)])
+    softmax_op = SegmentSoftmaxOperator(s, row_ptr, n_nodes,
+                                        interpret=interpret)
+
+    loss_fn = _make_loss(senders_dev, receivers_dev, n_nodes, aggregate,
+                         cfg, softmax=softmax_op)
     params = _init_params(jax.random.key(cfg.seed), n_nodes, cfg.d)
     out = _train(loss_fn, params, s, r, n_nodes, cfg, log)
     out["num_slices"] = num_slices
