@@ -41,13 +41,20 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "chunked"
     edges_m = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_nodes = int(sys.argv[4]) if len(sys.argv) > 4 else 2_000_000
+
+    import os
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon sitecustomize prepends its TPU platform regardless of
+        # the env var; restrict explicitly so the virtual mesh is real
+        jax.config.update("jax_platforms", "cpu")
 
     from msha_gnn_tpu.training.scale import (ScaleConfig, train_chunked,
                                              train_distributed)
 
-    n_nodes = 2_000_000
     n_edges = edges_m * 1_000_000
     src, dst = build_edges(n_nodes, n_edges)
     cfg = ScaleConfig(d=32, steps=steps, batch_edges=8192)
