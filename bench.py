@@ -8,14 +8,19 @@ with identical dropout work (the reference publishes no numbers —
 BASELINE.md — so its own algorithm on identical hardware is the baseline).
 Details (kernel numbers) go to BENCH_DETAILS.json + stderr.
 
-Kept lean: one shared power-law graph for the kernel benches, Pallas + XLA
-SpMM only (the SDDMM comparison is recorded in the README/commit history;
-re-enable with BENCH_FULL=1).
+Every kernel section runs under its own try/except (VERDICT r3 #7: the r3
+capture lost four sections to one shared ``try`` when the softmax wrapper
+regressed) — a failure in one section records ``<name>_error`` and the
+rest still land.
+
+Kept lean: one shared power-law graph for the kernel benches; extras
+(uniform-degree honesty row, flagship size sweep) behind BENCH_FULL=1.
 """
 
 import json
 import os
 import sys
+import traceback
 
 
 def main():
@@ -40,49 +45,78 @@ def main():
     from msha_gnn_tpu.ops import sddmm_dot, spmm
     from msha_gnn_tpu.ops.pallas import SpmmOperator
 
+    small = bool(os.environ.get("BENCH_SMALL"))  # smoke-test shapes, no
     details = {"device": jax.devices()[0].device_kind, "prng": "rbg"}
-    try:
-        flagship = bench_flagship()
-    except Exception as e:  # baseline OOM fallback: quarter-size dense run
-        print(f"full-N dense baseline failed ({type(e).__name__}); "
-              "retrying baseline at N/4", file=sys.stderr)
-        flagship = bench_flagship(baseline_n=9792)
-    details["flagship"] = flagship
-    print(f"flagship done t={time.time()-t_start:.0f}s", file=sys.stderr)
-    # Emit the headline immediately — kernel details below are best-effort
-    # and must not cost the driver the headline on a timeout.
-    print(json.dumps({
-        "metric": "msha_train_records_per_s",
-        "value": round(flagship["records_per_s"], 2),
-        "unit": "records/s",
-        "vs_baseline": round(flagship["speedup_vs_dense_reference"], 3),
-    }), flush=True)
+    if not small:
+        try:
+            flagship = bench_flagship()
+        except Exception as e:  # baseline OOM fallback: quarter-size dense
+            print(f"full-N dense baseline failed ({type(e).__name__}); "
+                  "retrying baseline at N/4", file=sys.stderr)
+            flagship = bench_flagship(baseline_n=9792)
+        details["flagship"] = flagship
+        print(f"flagship done t={time.time()-t_start:.0f}s",
+              file=sys.stderr)
+        # Emit the headline immediately — kernel details below are
+        # best-effort and must not cost the driver the headline on timeout.
+        print(json.dumps({
+            "metric": "msha_train_records_per_s",
+            "value": round(flagship["records_per_s"], 2),
+            "unit": "records/s",
+            "vs_baseline": round(flagship["speedup_vs_dense_reference"], 3),
+        }), flush=True)
 
     # ---- kernel benches on one shared 2M-edge power-law graph ----
-    try:
-        n, e, d = 131072, 2_000_000, 128
-        g, x = make_powerlaw_graph(n, n, e, d)
-        bw, _ = device_peaks()
-        e_pad = g.num_padded_edges
-        strict = e_pad * (8 + 4 * d) + n * d * 4
-        phase = strict + 2 * e_pad * d * 4
+    # Shared state flows between sections through `C` (a plain namespace);
+    # a section whose dependencies failed raises AttributeError and records
+    # its own error without taking any other section down.
+    class _Ctx:
+        pass
+
+    C = _Ctx()
+
+    def sec(name, fn):
+        try:
+            if os.environ.get("BENCH_FAIL_SECTION") == name:
+                raise RuntimeError("injected failure (BENCH_FAIL_SECTION)")
+            out = fn()
+            if out:
+                details.update(out)
+            print(f"{name} done t={time.time()-t_start:.0f}s",
+                  file=sys.stderr)
+        except Exception as ex:
+            details[f"{name}_error"] = f"{type(ex).__name__}: {ex}"
+            print(f"section {name} FAILED: {ex!r}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+
+    def sec_spmm():
+        if small:
+            C.n, C.e, C.d = n, e, d = 4096, 60_000, 32
+        else:
+            C.n, C.e, C.d = n, e, d = 131072, 2_000_000, 128
+        C.g, C.x = g, x = make_powerlaw_graph(n, n, e, d)
+        C.bw, _ = bw, _ = device_peaks()
+        C.e_pad = e_pad = g.num_padded_edges
+        C.strict = strict = e_pad * (8 + 4 * d) + n * d * 4
+        C.phase = phase = strict + 2 * e_pad * d * 4
 
         # All kernel rows use the dependency-chained timer (r3): the r2
         # dispatch-loop timings agree within ~10% for these compound
         # programs but can grossly overstate bare single-op speed through
         # the remoted runtime — the chain is the trustworthy method.
-        op = SpmmOperator.build(g)  # auto hub-split (H=128 on this graph)
-        t_p = _timeit_chain(lambda x: op(x), x)
-        t_x = _timeit_chain(lambda x: spmm(g, x), x)
+        C.op = op = SpmmOperator.build(g)  # auto hub-split (H=128 here)
+        t_p = C.t_p = _timeit_chain(lambda x: op(x), x)
+        t_x = C.t_x = _timeit_chain(lambda x: spmm(g, x), x)
         # single-path layout (r1 kernel): isolates the hub-split win
-        op_ns = SpmmOperator.build(g, hub_split=0)
+        C.op_ns = op_ns = SpmmOperator.build(g, hub_split=0)
         t_ns = _timeit_chain(lambda x: op_ns(x), x)
         # hardware-grounded bound: the random row gather is access-bound
         # (the TPU gather path, not HBM bandwidth, is the limiter), so the
         # achievable floor = measured gather + streaming floor for the
         # reduce's inputs/outputs
-        recv = op.fwd_dir.recv_clamped
-        t_gather = _timeit_chain(lambda x: jnp.take(x, recv, axis=0), x)
+        recv = C.recv = op.fwd_dir.recv_clamped
+        t_gather = C.t_gather = _timeit_chain(
+            lambda x: jnp.take(x, recv, axis=0), x)
         # Row-rate proof (scripts_gather_probe.py, r2): a *sequential*-index
         # gather of the same row count runs at the same speed as the random
         # one — the TPU gather path is bound by rows/s issue rate, not by
@@ -99,18 +133,55 @@ def main():
 
         # bf16 feature streaming: halves gather write + kernel read traffic
         # (f32 accumulation inside the kernel; ~2^-8 relative error)
-        op16 = SpmmOperator.build(g, precision="bf16")
+        C.op16 = op16 = SpmmOperator.build(g, precision="bf16")
         t_p16 = _timeit_chain(lambda x: op16(x), x)
         x16 = x.astype(jnp.bfloat16)
         t_gather16 = _timeit_chain(
             lambda x16: jnp.take(x16, recv, axis=0), x16
         )
 
+        hub = op.fwd_split.hub if op.fwd_split is not None else None
+        return {
+            "spmm_pallas": {
+                "seconds": t_p, "edges_per_s": e / t_p,
+                "seconds_bf16": t_p16, "edges_per_s_bf16": e / t_p16,
+                "speedup_vs_xla": t_x / t_p,
+                "speedup_vs_xla_bf16": t_x / t_p16,
+                "roofline_fraction": (phase / bw) / t_p,
+                "strict_roofline_fraction": (strict / bw) / t_p,
+                # hub-split (r2): top-H receivers served from a VMEM table —
+                # those edges skip the issue-bound XLA gather AND the (E, d)
+                # HBM intermediate, beating the r1 two-phase floor
+                "hub_size": 0 if hub is None else int(hub.n_hub),
+                "seconds_single_path": t_ns,
+                "hub_split_speedup": t_ns / t_p,
+                "single_path_roofline_fraction": (phase / bw) / t_ns,
+                "gather_seconds": t_gather,
+                "gather_sequential_seconds": t_gather_seq,
+                "gather_rows_per_s": float(recv.shape[0]) / t_gather,
+                # two-phase (gather-then-reduce) floor, vs the SINGLE-PATH
+                # kernel — the hub-split path is architected past this floor
+                "two_phase_floor_fraction": (t_gather + t_stream) / t_ns,
+                # bf16 rows are informational: the bf16 gather measures
+                # SLOWER than f32 on this chip (half-width rows hit the same
+                # issue bound), so the bf16 win comes from kernel-stream
+                # traffic, not the gather — floor uses the cheaper gather
+                "gather_bf16_seconds": t_gather16,
+                "two_phase_floor_fraction_bf16":
+                    (min(t_gather16, t_gather) + t_stream / 2) / t_p16,
+            },
+            "spmm_xla": {"seconds": t_x, "edges_per_s": e / t_x},
+        }
+
+    def sec_spmm_weighted():
+        g, x, op, op_ns = C.g, C.x, C.op, C.op_ns
+        n, e, d, e_pad, bw = C.n, C.e, C.d, C.e_pad, C.bw
         # runtime-attention-weight path (VERDICT r2 #1 — the training hot
         # path): dense-hub compose streams the CSR-order weights with zero
         # permute; fwd + full fwd+grad, hub vs single-path
         rng_w = np.random.default_rng(7)
-        w_att = jnp.asarray(rng_w.random(int(e_pad)).astype(np.float32))
+        w_att = C.w_att = jnp.asarray(
+            rng_w.random(int(e_pad)).astype(np.float32))
         ct = jnp.asarray(
             rng_w.standard_normal((n, d)).astype(np.float32))
         t_w = _timeit_chain(lambda x, w: op(x, edge_weight=w), x, w_att)
@@ -124,39 +195,9 @@ def main():
         t_wg = _timeit_chain(grad_of(op), x, w_att)
         t_wg_ns = _timeit_chain(grad_of(op_ns), x, w_att)
         # weighted strict adds the per-edge attention read
-        strict_w = strict + e_pad * 4
-        phase_w = phase + e_pad * 4
-
-        hub = op.fwd_split.hub if op.fwd_split is not None else None
-        details["spmm_pallas"] = {
-            "seconds": t_p, "edges_per_s": e / t_p,
-            "seconds_bf16": t_p16, "edges_per_s_bf16": e / t_p16,
-            "speedup_vs_xla": t_x / t_p,
-            "speedup_vs_xla_bf16": t_x / t_p16,
-            "roofline_fraction": (phase / bw) / t_p,
-            "strict_roofline_fraction": (strict / bw) / t_p,
-            # hub-split (r2): top-H receivers served from a VMEM table —
-            # those edges skip the issue-bound XLA gather AND the (E, d)
-            # HBM intermediate, beating the r1 two-phase floor
-            "hub_size": 0 if hub is None else int(hub.n_hub),
-            "seconds_single_path": t_ns,
-            "hub_split_speedup": t_ns / t_p,
-            "single_path_roofline_fraction": (phase / bw) / t_ns,
-            "gather_seconds": t_gather,
-            "gather_sequential_seconds": t_gather_seq,
-            "gather_rows_per_s": float(recv.shape[0]) / t_gather,
-            # two-phase (gather-then-reduce) floor, vs the SINGLE-PATH
-            # kernel — the hub-split path is architected past this floor
-            "two_phase_floor_fraction": (t_gather + t_stream) / t_ns,
-            # bf16 rows are informational: the bf16 gather measures SLOWER
-            # than f32 on this chip (half-width rows hit the same issue
-            # bound), so the bf16 win comes from kernel-stream traffic,
-            # not the gather — floor uses the cheaper of the two gathers
-            "gather_bf16_seconds": t_gather16,
-            "two_phase_floor_fraction_bf16":
-                (min(t_gather16, t_gather) + t_stream / 2) / t_p16,
-        }
-        details["spmm_weighted"] = {
+        strict_w = C.strict + e_pad * 4
+        phase_w = C.phase + e_pad * 4
+        return {"spmm_weighted": {
             # r3 dense-hub: runtime weights stream in CSR order (no hub
             # permute) — the split now serves the training hot path
             "seconds": t_w, "edges_per_s": e / t_w,
@@ -164,158 +205,155 @@ def main():
             "hub_split_speedup": t_w_ns / t_w,
             "roofline_fraction": (phase_w / bw) / t_w,
             "strict_roofline_fraction": (strict_w / bw) / t_w,
-            "vs_static_hub": t_w / t_p,
+            "vs_static_hub": t_w / C.t_p,
             "fwd_grad_seconds": t_wg,
             "fwd_grad_seconds_single_path": t_wg_ns,
             "fwd_grad_speedup": t_wg_ns / t_wg,
-        }
-        details["spmm_xla"] = {"seconds": t_x, "edges_per_s": e / t_x}
+        }}
 
+    def sec_scale_step():
+        g, d, n, e, e_pad = C.g, C.d, C.n, C.e, C.e_pad
         # bf16 end-to-end TRAINING step (VERDICT r2 #8): the config-#5
         # scale model (rank-1 GAT attention + weighted Pallas aggregation
         # + BCE link loss) with f32 vs bf16 aggregation activations —
         # parity tolerance documented in ops.sparse.spmm and tested in
         # tests/test_pallas_spmm.py::test_spmm_bf16_precision_paths.
-        # MFU comes from the compiled step's own cost analysis (Weak #5:
-        # an honest utilisation number for the workload training runs).
-        try:
-            import optax
+        # MFU comes from the compiled step's own cost analysis (an honest
+        # utilisation number for the workload training runs).
+        import optax
 
-            from msha_gnn_tpu.bench import device_peak_flops
-            from msha_gnn_tpu.training.scale import (
-                ScaleConfig, _init_params, _make_loss)
+        from msha_gnn_tpu.bench import device_peak_flops
+        from msha_gnn_tpu.training.scale import (
+            ScaleConfig, _init_params, _make_loss)
+        from msha_gnn_tpu.ops.pallas.softmax import SegmentSoftmaxOperator
 
-            from msha_gnn_tpu.ops.pallas.softmax import (
-                SegmentSoftmaxOperator)
+        e_real = int(g.num_edges)
+        snd = jnp.asarray(np.asarray(g.senders)[:e_real])
+        rcv = jnp.asarray(np.asarray(g.receivers)[:e_real])
+        snd_np = np.asarray(g.senders)[:e_real]
+        cnt_np = np.bincount(snd_np, minlength=n)
+        sm_op = SegmentSoftmaxOperator(
+            snd_np, np.concatenate([[0], np.cumsum(cnt_np)]), n)
+        rng_b = np.random.default_rng(11)
+        batch = tuple(
+            jnp.asarray(rng_b.integers(0, n, 8192).astype(np.int32))
+            for _ in range(4))
+        params0 = _init_params(jax.random.key(0), n, d)
+        tx_s = optax.adam(1e-3)
 
-            e_real = int(g.num_edges)
-            snd = jnp.asarray(np.asarray(g.senders)[:e_real])
-            rcv = jnp.asarray(np.asarray(g.receivers)[:e_real])
-            snd_np = np.asarray(g.senders)[:e_real]
-            cnt_np = np.bincount(snd_np, minlength=n)
-            sm_op = SegmentSoftmaxOperator(
-                snd_np, np.concatenate([[0], np.cumsum(cnt_np)]), n)
-            rng_b = np.random.default_rng(11)
-            batch = tuple(
-                jnp.asarray(rng_b.integers(0, n, 8192).astype(np.int32))
-                for _ in range(4))
-            params0 = _init_params(jax.random.key(0), n, d)
-            tx_s = optax.adam(1e-3)
+        def step_time(o, cfg_s):
+            def agg(h, att):
+                return o(h, edge_weight=jnp.pad(
+                    att, (0, e_pad - att.shape[0])))
+            loss_fn = _make_loss(snd, rcv, n, agg, cfg_s, softmax=sm_op)
+            STEPS = 8
 
-            def step_time(o, cfg_s):
-                def agg(h, att):
-                    return o(h, edge_weight=jnp.pad(
-                        att, (0, e_pad - att.shape[0])))
-                loss_fn = _make_loss(snd, rcv, n, agg, cfg_s,
-                                     softmax=sm_op)
-                STEPS = 8
+            @jax.jit
+            def run(params, opt, batch):
+                def body(carry, _):
+                    params, opt = carry
+                    l, grads = jax.value_and_grad(loss_fn)(params, *batch)
+                    upd, opt = tx_s.update(grads, opt)
+                    params = optax.apply_updates(params, upd)
+                    return (params, opt), l
+                (params, opt), ls = jax.lax.scan(
+                    body, (params, opt), None, length=STEPS)
+                return ls[-1]
 
-                @jax.jit
-                def run(params, opt, batch):
-                    def body(carry, _):
-                        params, opt = carry
-                        l, grads = jax.value_and_grad(loss_fn)(
-                            params, *batch)
-                        upd, opt = tx_s.update(grads, opt)
-                        params = optax.apply_updates(params, upd)
-                        return (params, opt), l
-                    (params, opt), ls = jax.lax.scan(
-                        body, (params, opt), None, length=STEPS)
-                    return ls[-1]
+            opt0 = tx_s.init(params0)
+            lowered = run.lower(params0, opt0, batch)
+            compiled = lowered.compile()
+            float(compiled(params0, opt0, batch))
+            t0 = time.time()
+            float(compiled(params0, opt0, batch))
+            t_step = (time.time() - t0) / STEPS
+            ca = compiled.cost_analysis()
+            fl = float(ca.get("flops", 0.0)) / STEPS if ca else 0.0
+            return t_step, fl
 
-                opt0 = tx_s.init(params0)
-                lowered = run.lower(params0, opt0, batch)
-                compiled = lowered.compile()
-                float(compiled(params0, opt0, batch))
-                t0 = time.time()
-                float(compiled(params0, opt0, batch))
-                t_step = (time.time() - t0) / STEPS
-                ca = compiled.cost_analysis()
-                fl = float(ca.get("flops", 0.0)) / STEPS if ca else 0.0
-                return t_step, fl
+        t_s32, fl32 = step_time(C.op, ScaleConfig(d=d))
+        t_s16, _ = step_time(C.op16, ScaleConfig(d=d, precision="bf16"))
+        peak = device_peak_flops() or 197e12
+        return {"scale_step": {
+            "d": d, "edges": e,
+            "seconds_f32": t_s32, "seconds_bf16": t_s16,
+            "bf16_speedup": t_s32 / t_s16,
+            "edges_per_s_f32": e / t_s32,
+            "edges_per_s_bf16": e / t_s16,
+            "flops_per_step": fl32,
+            "mfu_f32": fl32 / t_s32 / peak,
+        }}
 
-            t_s32, fl32 = step_time(op, ScaleConfig(d=d))
-            t_s16, _ = step_time(
-                SpmmOperator.build(g, precision="bf16"),
-                ScaleConfig(d=d, precision="bf16"))
-            peak = device_peak_flops() or 197e12
-            details["scale_step"] = {
-                "d": d, "edges": e,
-                "seconds_f32": t_s32, "seconds_bf16": t_s16,
-                "bf16_speedup": t_s32 / t_s16,
-                "edges_per_s_f32": e / t_s32,
-                "edges_per_s_bf16": e / t_s16,
-                "flops_per_step": fl32,
-                "mfu_f32": fl32 / t_s32 / peak,
-            }
-            print(f"scale step done t={time.time()-t_start:.0f}s",
-                  file=sys.stderr)
-        except Exception as ex:  # pragma: no cover
-            details["scale_step"] = {"error": repr(ex)}
-
+    def sec_sharded():
         # Pallas x partition composition (VERDICT r1 #3): the shard-local
         # visit-scheduled kernel under shard_map on a 1-device mesh must
         # not regress vs the unsharded operator (collectives are no-ops).
-        try:
-            from msha_gnn_tpu.parallel import ShardedPallasSpmm, make_mesh
+        from msha_gnn_tpu.parallel import ShardedPallasSpmm, make_mesh
 
-            mesh1 = make_mesh(1, data_axis=1)
-            sop = ShardedPallasSpmm(g, mesh1)
-            t_sh = _timeit_chain(lambda x: sop(x), x)
-            details["spmm_sharded_pallas_1chip"] = {
-                "seconds": t_sh,
-                "edges_per_s": e / t_sh,
-                "vs_unsharded": t_p / t_sh,
-            }
-        except Exception as ex:  # pragma: no cover
-            details["spmm_sharded_pallas_1chip"] = {"error": repr(ex)}
-        print(f"spmm done t={time.time()-t_start:.0f}s", file=sys.stderr)
+        mesh1 = make_mesh(1, data_axis=1)
+        sop = ShardedPallasSpmm(C.g, mesh1)
+        t_sh = _timeit_chain(lambda x: sop(x), C.x)
+        return {"spmm_sharded_pallas_1chip": {
+            "seconds": t_sh,
+            "edges_per_s": C.e / t_sh,
+            "vs_unsharded": C.t_p / t_sh,
+        }}
 
+    def sec_flash():
         # fused attention (softmax + aggregate) vs separate XLA ops
         from msha_gnn_tpu.ops import edge_softmax
         from msha_gnn_tpu.ops.pallas import FlashGATOperator
 
+        g, x, e = C.g, C.x, C.e
         rng = np.random.default_rng(0)
-        logits = jnp.asarray(
+        C.logits = logits = jnp.asarray(
             rng.standard_normal(g.num_padded_edges), jnp.float32
         )
-        fop = FlashGATOperator.build(g, spmm=op)
+        C.rng = rng
+        fop = FlashGATOperator.build(g, spmm=C.op)
         t_fl = _timeit_chain(lambda l, x: fop(l, x), logits, x)
         t_sep = _timeit_chain(
             lambda l, x: spmm(g, x, edge_weight=edge_softmax(g, l)),
             logits, x,
         )
-        details["flash_gat"] = {
+        return {"flash_gat": {
             "seconds": t_fl, "edges_per_s": e / t_fl,
             "speedup_vs_xla_separate": t_sep / t_fl,
-        }
-        print(f"flash done t={time.time()-t_start:.0f}s", file=sys.stderr)
+        }}
 
+    def sec_segment_softmax():
         # sorted-segment softmax kernels (r3) — the materialised-attention
         # path every training layer runs (dropout needs explicit weights)
+        from msha_gnn_tpu.ops import edge_softmax
         from msha_gnn_tpu.ops.pallas.softmax import edge_softmax_pallas
 
+        g, e_pad, logits = C.g, C.e_pad, C.logits
         ct_e = jnp.asarray(
-            rng.standard_normal(int(e_pad)).astype(np.float32))
+            C.rng.standard_normal(int(e_pad)).astype(np.float32))
         t_sm = _timeit_chain(lambda l: edge_softmax_pallas(g, l), logits)
         t_sm_x = _timeit_chain(lambda l: edge_softmax(g, l), logits)
         t_smg = _timeit_chain(lambda l: jax.grad(
             lambda l: jnp.vdot(edge_softmax_pallas(g, l), ct_e))(l), logits)
         t_smg_x = _timeit_chain(lambda l: jax.grad(
             lambda l: jnp.vdot(edge_softmax(g, l), ct_e))(l), logits)
-        details["segment_softmax"] = {
+        return {"segment_softmax": {
             "seconds": t_sm, "seconds_xla": t_sm_x,
             "speedup_vs_xla": t_sm_x / t_sm,
             "fwd_grad_seconds": t_smg, "fwd_grad_seconds_xla": t_smg_x,
             "fwd_grad_speedup": t_smg_x / t_smg,
-        }
+        }}
 
+    def sec_attention_pipeline():
         # full attention TRAINING pipeline (rank-1 logits -> segment
         # softmax -> weighted aggregation), forward + full gradient:
         # all-Pallas vs the r2 state (Pallas aggregation, XLA rest)
+        from msha_gnn_tpu.ops import edge_softmax
         from msha_gnn_tpu.ops import sddmm as sddmm_rank1
         from msha_gnn_tpu.ops.pallas.sddmm import sddmm_pallas
+        from msha_gnn_tpu.ops.pallas.softmax import edge_softmax_pallas
 
+        g, x, op, op_ns, n, e, d = C.g, C.x, C.op, C.op_ns, C.n, C.e, C.d
+        rng = C.rng
         s_src_v = jnp.asarray(
             rng.standard_normal(g.n_src).astype(np.float32))
         s_dst_v = jnp.asarray(
@@ -339,58 +377,79 @@ def main():
         t_pi2 = _timeit_chain(pipe_r2, s_src_v, s_dst_v, x)
         t_pig = _timeit_chain(gr(pipe_new), s_src_v, s_dst_v, x)
         t_pig2 = _timeit_chain(gr(pipe_r2), s_src_v, s_dst_v, x)
-        details["attention_pipeline"] = {
+        return {"attention_pipeline": {
             "seconds": t_pi, "seconds_r2_state": t_pi2,
             "speedup_vs_r2": t_pi2 / t_pi,
             "fwd_grad_seconds": t_pig, "fwd_grad_seconds_r2": t_pig2,
             "fwd_grad_speedup_vs_r2": t_pig2 / t_pig,
             "edges_per_s_fwd_grad": e / t_pig,
-        }
-        print(f"softmax/pipeline done t={time.time()-t_start:.0f}s",
-              file=sys.stderr)
+        }}
 
+    def sec_sddmm():
         # SDDMM roofline (BASELINE names BOTH kernels in the >=60% target).
         # Traffic floor mirrors the SpMM strict/two-phase accounting:
         # strict = per-edge receiver row + sender id + logit write, plus one
         # pass over h_src; phase adds the gathered (E, d) HBM round trip.
         from msha_gnn_tpu.ops.pallas import SddmmOperator
 
+        g, x, n, e, d, e_pad, bw = C.g, C.x, C.n, C.e, C.d, C.e_pad, C.bw
         rng_s = np.random.default_rng(3)
         h_src = jnp.asarray(rng_s.standard_normal((n, d)), jnp.float32)
-        dop = SddmmOperator.build(g, spmm=op)
+        dop = SddmmOperator.build(g, spmm=C.op)
         t_sd = _timeit_chain(lambda a, b: dop(a, b), h_src, x)
         t_sd_x = _timeit_chain(lambda a, b: sddmm_dot(g, a, b), h_src, x)
+        # hub-vs-single-path isolation (VERDICT r3 #3: no isolated SDDMM
+        # hub row existed) — same kernel over the no-hub spmm layout
+        dop_ns = SddmmOperator.build(g, spmm=C.op_ns)
+        t_sd_ns = _timeit_chain(lambda a, b: dop_ns(a, b), h_src, x)
         strict_sd = e_pad * (4 * d + 8) + n * d * 4
         phase_sd = strict_sd + 2 * e_pad * d * 4
-        details["sddmm_pallas"] = {
-            "seconds": t_sd, "edges_per_s": e / t_sd,
-            "speedup_vs_xla": t_sd_x / t_sd,
-            "roofline_fraction": (phase_sd / bw) / t_sd,
-            "strict_roofline_fraction": (strict_sd / bw) / t_sd,
-            "two_phase_floor_fraction": (t_gather + e_pad * (4 * d + 4) / bw)
-                                        / t_sd,
+        return {
+            "sddmm_pallas": {
+                "seconds": t_sd, "edges_per_s": e / t_sd,
+                "speedup_vs_xla": t_sd_x / t_sd,
+                "seconds_single_path": t_sd_ns,
+                "hub_split_speedup": t_sd_ns / t_sd,
+                "roofline_fraction": (phase_sd / bw) / t_sd,
+                "strict_roofline_fraction": (strict_sd / bw) / t_sd,
+                "single_path_roofline_fraction": (phase_sd / bw) / t_sd_ns,
+                "two_phase_floor_fraction":
+                    (C.t_gather + e_pad * (4 * d + 4) / bw) / t_sd,
+            },
+            "sddmm_xla": {"seconds": t_sd_x, "edges_per_s": e / t_sd_x},
         }
-        details["sddmm_xla"] = {"seconds": t_sd_x, "edges_per_s": e / t_sd_x}
-        print(f"sddmm done t={time.time()-t_start:.0f}s", file=sys.stderr)
 
-        if os.environ.get("BENCH_FULL"):
-            # uniform-degree graph: the hub cost model must decline and the
-            # single-path layout carries the full load (honesty row — the
-            # hub-split win above is skew-dependent)
-            gu, xu = make_powerlaw_graph(n, n, e, d, seed=2, alpha=0.0)
-            opu = SpmmOperator.build(gu)
-            t_u = _timeit_chain(lambda x: opu(x), xu)
-            details["spmm_pallas_uniform"] = {
+    def sec_full_extras():
+        if not os.environ.get("BENCH_FULL"):
+            return None
+        n, e, d, bw = C.n, C.e, C.d, C.bw
+        # uniform-degree graph: the hub cost model must decline and the
+        # single-path layout carries the full load (honesty row — the
+        # hub-split win above is skew-dependent)
+        gu, xu = make_powerlaw_graph(n, n, e, d, seed=2, alpha=0.0)
+        opu = SpmmOperator.build(gu)
+        t_u = _timeit_chain(lambda x: opu(x), xu)
+        from msha_gnn_tpu.bench import bench_flagship_size_sweep
+
+        return {
+            "spmm_pallas_uniform": {
                 "seconds": t_u, "edges_per_s": e / t_u,
                 "hub_size": 0 if opu.fwd_split is None
                 else int(opu.fwd_split.hub.n_hub),
-                "roofline_fraction": (phase / bw) / t_u,
-            }
-            from msha_gnn_tpu.bench import bench_flagship_size_sweep
+                "roofline_fraction": (C.phase / bw) / t_u,
+            },
+            "flagship_size_sweep": bench_flagship_size_sweep(),
+        }
 
-            details["flagship_size_sweep"] = bench_flagship_size_sweep()
-    except Exception as ex:
-        details["kernels_error"] = f"{type(ex).__name__}: {ex}"
+    sec("spmm", sec_spmm)
+    sec("spmm_weighted", sec_spmm_weighted)
+    sec("scale_step", sec_scale_step)
+    sec("sharded", sec_sharded)
+    sec("flash", sec_flash)
+    sec("segment_softmax", sec_segment_softmax)
+    sec("attention_pipeline", sec_attention_pipeline)
+    sec("sddmm", sec_sddmm)
+    sec("full_extras", sec_full_extras)
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -178,12 +178,12 @@ class SparseGATLayer(nn.Module):
 
             key = id(graph.senders)
             cache = _flash_cache
-            op = cache.get(key)
+            op = cache.pop(key, None)  # pop+reinsert: LRU on hit
             if op is None or op.graph.senders is not graph.senders:
                 op = FlashGATOperator.build(graph)
-                cache[key] = op
-                if len(cache) > 8:
-                    cache.pop(next(iter(cache)))
+            cache[key] = op
+            if len(cache) > 8:
+                cache.pop(next(iter(cache)))
             return elu(op(logits, h_dst))
         spmm_impl = "pallas" if impl == "flash" else impl
         att = edge_softmax(graph, logits, impl=spmm_impl)

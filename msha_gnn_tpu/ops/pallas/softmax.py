@@ -272,10 +272,21 @@ def _rowsum(sched: _SoftmaxSchedule, vals_pad, interpret):
 class SegmentSoftmaxOperator:
     """Differentiable sorted-segment softmax bound to one edge sort.
 
-    ``mask``: static per-edge validity ([e_pad] bool, e.g.
-    ``graph.edge_mask``) — masked edges get attention 0 and contribute
-    nothing to their row's denominator (pad senders land outside every
-    real row block, so they only pollute discarded pad rows).
+    ``mask``: static per-edge validity ([e_pad] bool-like, HOST data —
+    numpy or a concrete jax array; e.g. ``graph.edge_mask`` evaluated
+    outside a trace).  Masked edges get attention 0 and contribute
+    nothing to their row's denominator: their logits are forced to
+    ``NEG`` before the stats pass, matching
+    ``ops.sparse.edge_softmax(mask=...)`` semantics for arbitrary masks
+    (not just sentinel-sender pads).
+
+    The constructor is host-side preprocessing and must never capture
+    trace-local values: every derived array is built in numpy and only
+    committed to the device when ``jax.core.trace_state_clean()`` (the
+    same rule as ``spmm._make_direction``).  This keeps one operator
+    instance safely reusable across many jitted traces — the regression
+    that shipped broken in r3 cached a traced ``edge_mask`` and died
+    with ``UnexpectedTracerError`` on the second trace.
     """
 
     def __init__(self, senders_np, row_ptr_np, n_rows: int,
@@ -285,15 +296,24 @@ class SegmentSoftmaxOperator:
         )
         self.sched = _make_schedule(np.asarray(senders_np), row_ptr_np,
                                     n_rows)
-        self._mask = None if mask is None else jnp.asarray(mask)
+        if mask is None:
+            self._mask = None
+        else:
+            mask_np = np.asarray(mask, bool)
+            self._mask = (
+                jnp.asarray(mask_np) if _trace_state_clean() else mask_np
+            )
         sched, interp, mask_ = self.sched, self.interpret, self._mask
 
         def _att_from(l):
-            l_pad = _pad_edges(l, sched.e_ch)
+            l32 = l.astype(jnp.float32)
+            if mask_ is not None:
+                l32 = jnp.where(mask_, l32, NEG)
+            l_pad = _pad_edges(l32, sched.e_ch)
             ms = _stats(sched, l_pad, interp)
             lse = ms[:, 0] + jnp.log(jnp.maximum(ms[:, 1], 1e-30))
             lse_e = _expand(sched, lse[:, None], interp)[: sched.e_pad]
-            att = jnp.exp(l.astype(jnp.float32) - lse_e)
+            att = jnp.exp(l32 - lse_e)
             if mask_ is not None:
                 att = jnp.where(mask_, att, 0.0)
             return att
@@ -317,10 +337,18 @@ class SegmentSoftmaxOperator:
 
     @staticmethod
     def build(graph: BipartiteGraph, interpret: Optional[bool] = None):
-        return SegmentSoftmaxOperator(
-            np.asarray(graph.senders), np.asarray(graph.row_ptr),
-            graph.n_src, mask=graph.edge_mask, interpret=interpret,
+        # graph.edge_mask would run `senders < n_src` through the current
+        # trace (a tracer under jit even for concrete senders — omnistaging);
+        # derive the identical mask host-side from the numpy view instead.
+        senders_np = np.asarray(graph.senders)
+        op = SegmentSoftmaxOperator(
+            senders_np, np.asarray(graph.row_ptr), graph.n_src,
+            mask=senders_np < graph.n_src, interpret=interpret,
         )
+        # Keep the device buffer alive so id()-keyed caches can never see a
+        # recycled id, and expose it for identity re-validation on hit.
+        op.senders_ref = graph.senders
+        return op
 
     def __call__(self, logits: Array) -> Array:
         return self._apply(logits)
@@ -332,12 +360,13 @@ _SM_CACHE: dict = {}
 def edge_softmax_pallas(graph: BipartiteGraph, logits: Array,
                         *, interpret: Optional[bool] = None) -> Array:
     """Cached-operator convenience wrapper (``per='src'`` semantics of
-    ``ops.sparse.edge_softmax``)."""
+    ``ops.sparse.edge_softmax``).  The cache is id-keyed but validated by
+    object identity (ids can be recycled after gc) and LRU on hit."""
     key = (id(graph.senders), interpret)
-    op = _SM_CACHE.get(key)
-    if op is None:
+    op = _SM_CACHE.pop(key, None)
+    if op is None or op.senders_ref is not graph.senders:
         op = SegmentSoftmaxOperator.build(graph, interpret=interpret)
-        _SM_CACHE[key] = op
-        if len(_SM_CACHE) > 16:
-            _SM_CACHE.pop(next(iter(_SM_CACHE)))
+    _SM_CACHE[key] = op  # (re-)insert at the tail: LRU order
+    if len(_SM_CACHE) > 16:
+        _SM_CACHE.pop(next(iter(_SM_CACHE)))
     return op(logits)

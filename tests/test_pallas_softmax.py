@@ -74,3 +74,77 @@ def test_edge_softmax_impl_flag(rng):
     got = np.asarray(edge_softmax(g, l, impl="pallas"))
     want = np.asarray(edge_softmax(g, l))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_edge_softmax_pallas_two_jitted_traces(rng):
+    """r3 regression (VERDICT r3 weak #1): the cached wrapper leaked a
+    traced ``edge_mask`` into ``_SM_CACHE``; the SECOND jitted trace on the
+    same graph died with UnexpectedTracerError.  Exercise two distinct
+    traces plus a jitted grad — the exact run_link_prediction pattern
+    (jitted epoch_scan, then jitted score)."""
+    from msha_gnn_tpu.ops.pallas.softmax import edge_softmax_pallas
+
+    g, _ = make_random_bipartite(rng, 80, 30, density=0.15)
+    l = jnp.asarray(
+        rng.standard_normal(int(g.num_padded_edges)).astype(np.float32))
+
+    @jax.jit
+    def f1(l):
+        return edge_softmax_pallas(g, l, interpret=True)
+
+    @jax.jit
+    def f2(l):
+        return edge_softmax_pallas(g, l, interpret=True).sum()
+
+    got = np.asarray(f1(l))
+    want = np.asarray(edge_softmax(g, l))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert np.isfinite(float(f2(l)))
+    gr = jax.jit(jax.grad(lambda l: (edge_softmax_pallas(
+        g, l, interpret=True) ** 2).sum()))(l)
+    assert np.isfinite(np.asarray(gr)).all()
+
+
+def test_edge_softmax_pallas_cache_revalidates_identity(rng):
+    """ADVICE r3 medium: id() can be recycled after gc — a cache hit must
+    re-validate object identity and rebuild on mismatch."""
+    from msha_gnn_tpu.ops.pallas import softmax as sm
+
+    g, _ = make_random_bipartite(rng, 60, 20, density=0.2)
+    l = jnp.asarray(
+        rng.standard_normal(int(g.num_padded_edges)).astype(np.float32))
+    sm.edge_softmax_pallas(g, l, interpret=True)
+    key = (id(g.senders), True)
+    stale = sm._SM_CACHE[key]
+    assert stale.senders_ref is g.senders  # keeps the buffer alive
+    # simulate id recycling: same key, but the operator belongs to another
+    # senders buffer
+    g2, _ = make_random_bipartite(rng, 60, 20, density=0.2)
+    stale.senders_ref = g2.senders
+    out = np.asarray(sm.edge_softmax_pallas(g, l, interpret=True))
+    assert sm._SM_CACHE[key] is not stale  # rebuilt, not reused
+    np.testing.assert_allclose(out, np.asarray(edge_softmax(g, l)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_segment_softmax_pallas_arbitrary_mask(rng):
+    """ADVICE r3 low: a mask covering a REAL-sender edge must remove it
+    from its row's denominator (XLA segment_softmax(mask=...) parity), not
+    just zero it post-hoc."""
+    from msha_gnn_tpu.ops.pallas import SegmentSoftmaxOperator
+    from msha_gnn_tpu.ops.segment import segment_softmax
+
+    g, _ = make_random_bipartite(rng, 120, 40, density=0.1)
+    l = jnp.asarray(
+        rng.standard_normal(int(g.num_padded_edges)).astype(np.float32) * 2)
+    mask = np.asarray(g.edge_mask).copy()
+    real = np.flatnonzero(mask)
+    mask[rng.permutation(real)[: len(real) // 3]] = False  # drop real edges
+    op = SegmentSoftmaxOperator(
+        np.asarray(g.senders), np.asarray(g.row_ptr), g.n_src,
+        mask=mask, interpret=True)
+    got = np.asarray(op(l))
+    want = np.asarray(segment_softmax(l, g.senders, g.n_src,
+                                      mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert np.all(got[~mask] == 0.0)
