@@ -40,9 +40,32 @@ def _load_split_pt(path: str) -> Dict[str, np.ndarray]:
     """One OGB split file (torch-pickled dict of edge tensors)."""
     import torch
 
-    # weights_only=True: the official split files are plain tensor dicts;
-    # never unpickle arbitrary objects from a downloaded .pt file.
-    blob = torch.load(path, map_location="cpu", weights_only=True)
+    # weights_only=True: never unpickle arbitrary objects from a downloaded
+    # .pt file.  Official split dicts are sometimes numpy arrays rather than
+    # torch tensors (ADVICE r3): the safe unpickler rejects numpy's
+    # reconstruct globals by default, so allowlist exactly those — never
+    # fall back to weights_only=False.
+    try:
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        safe = [np.ndarray, np.dtype]
+        try:
+            from numpy.core.multiarray import _reconstruct
+
+            safe.append(_reconstruct)
+        except Exception:
+            pass
+        try:  # numpy >= 1.25 pickles dtype instances via these classes
+            from numpy import dtypes as _np_dtypes
+
+            safe.extend(
+                getattr(_np_dtypes, n) for n in dir(_np_dtypes)
+                if n.endswith("DType")
+            )
+        except Exception:
+            pass
+        with torch.serialization.safe_globals(safe):
+            blob = torch.load(path, map_location="cpu", weights_only=True)
     return {k: np.asarray(v) for k, v in blob.items()}
 
 

@@ -177,10 +177,13 @@ def analyze_tpu_ring_schedule(k=8, row_blk=4096, dst_blk=4096, e_b=32768,
         if not m:
             continue
         name = m.group(1)
+        # word-boundary match (ADVICE r3): `collective-permute-start.1` is a
+        # substring of `.12`, so plain containment can pair the wrong done
+        name_re = re.compile(rf"\b{re.escape(name)}\b")
         done_idx = None
         for j in range(i + 1, len(lines)):
             if ("collective-permute-done" in lines[j]
-                    and name in lines[j]):
+                    and name_re.search(lines[j])):
                 done_idx = j
                 break
         if done_idx is None:

@@ -269,3 +269,18 @@ def test_link_prediction_pallas_end_to_end():
     assert result["impl"] == "pallas"
     assert np.isfinite(result["final_train_loss"])
     assert np.isfinite(result["auc"])
+
+
+def test_load_split_pt_numpy_arrays(tmp_path):
+    """ADVICE r3: official OGB split dicts sometimes pickle numpy arrays,
+    which weights_only=True rejects by default — the loader must allowlist
+    numpy's reconstruct globals, not revert to unsafe unpickling."""
+    import torch
+
+    from msha_gnn_tpu.data.ogb import _load_split_pt
+
+    edges = np.arange(20, dtype=np.int64).reshape(10, 2)
+    path = tmp_path / "train.pt"
+    torch.save({"edge": edges}, str(path))  # numpy payload, not tensors
+    out = _load_split_pt(str(path))
+    np.testing.assert_array_equal(out["edge"], edges)
