@@ -241,11 +241,7 @@ def main():
         params0 = _init_params(jax.random.key(0), n, d)
         tx_s = optax.adam(1e-3)
 
-        def step_time(o, cfg_s):
-            def agg(h, att):
-                return o(h, edge_weight=jnp.pad(
-                    att, (0, e_pad - att.shape[0])))
-            loss_fn = _make_loss(snd, rcv, n, agg, cfg_s, softmax=sm_op)
+        def step_time(loss_fn):
             STEPS = 8
 
             @jax.jit
@@ -271,8 +267,30 @@ def main():
             fl = float(ca.get("flops", 0.0)) / STEPS if ca else 0.0
             return t_step, fl
 
-        t_s32, fl32 = step_time(C.op, ScaleConfig(d=d))
-        t_s16, _ = step_time(C.op16, ScaleConfig(d=d, precision="bf16"))
+        def agg(h, att):
+            return C.op(h, edge_weight=jnp.pad(
+                att, (0, e_pad - att.shape[0])))
+
+        # r4 production path: the fully-fused rank-1 GAT operator
+        # (dst_linear: t computed in-kernel from the aligned gather) —
+        # no [E]-length XLA gather/scatter in the step
+        # (STEP_PROFILE.json: the r3 step spent 77 of 121 ms in the
+        # logit takes + their adjoints)
+        from msha_gnn_tpu.ops.pallas import Rank1GatOperator
+
+        r1 = Rank1GatOperator.build(g, spmm=C.op, dst_linear=True)
+        r1_16 = Rank1GatOperator.build(g, spmm=C.op, dst_linear=True,
+                                       precision="bf16")
+        t_s32, fl32 = step_time(_make_loss(
+            snd, rcv, n, agg, ScaleConfig(d=d),
+            attention_fn=lambda c, a, h: r1(c, a, h)))
+        t_s16, _ = step_time(_make_loss(
+            snd, rcv, n, agg, ScaleConfig(d=d, precision="bf16"),
+            attention_fn=lambda c, a, h: r1_16(c, a, h)))
+        # r3 materialised path (XLA takes + Pallas softmax + weighted
+        # Pallas SpMM), kept as the comparison row
+        t_mat, _ = step_time(_make_loss(
+            snd, rcv, n, agg, ScaleConfig(d=d), softmax=sm_op))
         peak = device_peak_flops() or 197e12
         return {"scale_step": {
             "d": d, "edges": e,
@@ -280,6 +298,8 @@ def main():
             "bf16_speedup": t_s32 / t_s16,
             "edges_per_s_f32": e / t_s32,
             "edges_per_s_bf16": e / t_s16,
+            "seconds_f32_materialized_r3_path": t_mat,
+            "fused_speedup_vs_r3_path": t_mat / t_s32,
             "flops_per_step": fl32,
             "mfu_f32": fl32 / t_s32 / peak,
         }}
@@ -419,6 +439,15 @@ def main():
             "sddmm_xla": {"seconds": t_sd_x, "edges_per_s": e / t_sd_x},
         }
 
+    def sec_flagship_attention():
+        # VERDICT r3 #8: dense (N, M=32) vs materialised-Pallas attention
+        # at flagship scale on the real 2015 inter edge list
+        if small:
+            return None
+        from msha_gnn_tpu.bench import bench_flagship_attention_paths
+
+        return {"flagship_attention_paths": bench_flagship_attention_paths()}
+
     def sec_full_extras():
         if not os.environ.get("BENCH_FULL"):
             return None
@@ -449,6 +478,7 @@ def main():
     sec("segment_softmax", sec_segment_softmax)
     sec("attention_pipeline", sec_attention_pipeline)
     sec("sddmm", sec_sddmm)
+    sec("flagship_attention", sec_flagship_attention)
     sec("full_extras", sec_full_extras)
 
     with open("BENCH_DETAILS.json", "w") as f:

@@ -451,6 +451,73 @@ def bench_sddmm(n_src=131072, n_dst=131072, n_edges=2_000_000, d=128,
     }
 
 
+def bench_flagship_attention_paths(year: str = "2015", d: int = 64):
+    """Dense vs materialised-Pallas inter attention at FLAGSHIP scale
+    (VERDICT r3 #8): the MSHA inter channel keeps a dense (N, M=32)
+    attention matrix (models/msha.py design note); this measures the
+    alternative — the same computation (rank-1 logits -> row softmax ->
+    att @ h1 and att.T @ h2) on the real 2015 inter CSR edge list through
+    the Pallas pipeline — fwd and fwd+grad, chained timing.  Recorded
+    either way: if dense wins at M=32 the design note gains its measured
+    justification; the kernels' domain is edge counts where (N, M) cannot
+    materialise."""
+    from .data import load_flow_graph
+    from .ops.pallas import SddmmOperator, SpmmOperator
+    from .ops.pallas.softmax import edge_softmax_pallas
+
+    fg = load_flow_graph(year)
+    g = fg.inter
+    n, m, e = g.n_src, g.n_dst, g.num_edges
+    e_pad = g.num_padded_edges
+    rng = np.random.default_rng(0)
+    h1 = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+    h2 = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    a_src = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    a_dst = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    mask = jnp.asarray(np.asarray(g.to_dense()) > 0)
+    ct_n = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    ct_m = jnp.asarray(rng.standard_normal((m, d)), jnp.float32)
+
+    def dense_path(h1, h2):
+        s_src = h2 @ a_src
+        s_dst = h1 @ a_dst
+        e12 = jax.nn.leaky_relu(s_src[:, None] + s_dst[None, :], 0.2)
+        e12 = jnp.where(mask, e12, -9e15)
+        att = jax.nn.softmax(e12, axis=1)
+        return att @ h1, att.T @ h2
+
+    op = SpmmOperator.build(g)
+    dop = SddmmOperator.build(g, spmm=op)
+
+    def sparse_path(h1, h2):
+        s_src = h2 @ a_src
+        s_dst = h1 @ a_dst
+        logits = jax.nn.leaky_relu(
+            dop(jnp.stack([s_src, jnp.ones_like(s_src)], axis=1),
+                jnp.stack([jnp.ones_like(s_dst), s_dst], axis=1)), 0.2)
+        att = edge_softmax_pallas(g, logits)
+        return (op(h1, edge_weight=att),
+                op(h2, edge_weight=att, transpose=True))
+
+    def gr(f):
+        def g_(h1, h2):
+            def s(h1, h2):
+                u, v = f(h1, h2)
+                return jnp.vdot(u, ct_n) + jnp.vdot(v, ct_m)
+            return jax.grad(s, argnums=(0, 1))(h1, h2)
+        return g_
+
+    out = {"n": n, "m": m, "edges": e, "e_pad": e_pad, "d": d}
+    out["dense_fwd"] = _timeit_chain(dense_path, h1, h2)
+    out["sparse_fwd"] = _timeit_chain(sparse_path, h1, h2)
+    out["dense_fwd_grad"] = _timeit_chain(gr(dense_path), h1, h2)
+    out["sparse_fwd_grad"] = _timeit_chain(gr(sparse_path), h1, h2)
+    out["dense_over_sparse_fwd"] = out["sparse_fwd"] / out["dense_fwd"]
+    out["dense_over_sparse_fwd_grad"] = (
+        out["sparse_fwd_grad"] / out["dense_fwd_grad"])
+    return out
+
+
 def bench_flagship_size_sweep(
     sizes=(39179, 156716, 626864),
     batch_size: int = 64,

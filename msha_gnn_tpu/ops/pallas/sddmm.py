@@ -89,9 +89,14 @@ def sddmm_pallas(graph: BipartiteGraph, src_vec: Array, dst_vec: Array,
                  *, negative_slope: float = 0.2,
                  interpret: Optional[bool] = None) -> Array:
     """Rank-1 GAT logits ``leaky_relu(src_vec[s] + dst_vec[r])`` via the
-    dot-SDDMM kernel on [N, 1] columns (kept for API parity; the scalar
-    gathers are memory-trivial, so the XLA path in ``ops.sparse.sddmm`` is
-    usually just as fast)."""
+    dot-SDDMM kernel on width-2 columns (one-shot; prefer
+    :func:`rank1_logits_fn` over a prebuilt operator in loops).
+
+    Not memory-trivial at scale despite the tiny payload: the XLA scalar
+    gathers pay the per-INDEX issue cost (~7 ns on v5e → 18 ms fwd /
+    35 ms fwd+grad at 2M edges, STEP_PROFILE.json); through the
+    visit-schedule kernel the sender side is block-local and the hub
+    table absorbs most receiver rows (10 / 15 ms)."""
     out = sddmm_dot_pallas(
         graph,
         jnp.stack([src_vec, jnp.ones_like(src_vec)], axis=1),
@@ -99,3 +104,22 @@ def sddmm_pallas(graph: BipartiteGraph, src_vec: Array, dst_vec: Array,
         interpret=interpret,
     )
     return jax.nn.leaky_relu(out, negative_slope=negative_slope)
+
+
+def rank1_logits_fn(op: SddmmOperator, num_edges: Optional[int] = None,
+                    negative_slope: float = 0.2):
+    """Bind a prebuilt :class:`SddmmOperator` into a
+    ``logits_fn(s_src, s_dst) -> [E]`` closure (the pluggable logits hook
+    of ``training.scale._encode``): rank-1 GAT logits
+    ``leaky_relu(s_src[snd] + s_dst[rcv])`` with the gathers on the
+    kernel path and the adjoints on two d=2 weighted SpMMs."""
+    def logits_fn(s_src: Array, s_dst: Array) -> Array:
+        out = op(
+            jnp.stack([s_src, jnp.ones_like(s_src)], axis=1),
+            jnp.stack([jnp.ones_like(s_dst), s_dst], axis=1),
+        )
+        if num_edges is not None:
+            out = out[:num_edges]
+        return jax.nn.leaky_relu(out, negative_slope=negative_slope)
+
+    return logits_fn

@@ -62,7 +62,7 @@ def _init_params(key, n_nodes: int, d: int):
 
 
 def _encode(params, senders, receivers, n_nodes, aggregate, cfg,
-            softmax=None):
+            softmax=None, logits_fn=None, attention_fn=None):
     """Shared encoder: rank-1 GAT attention + pluggable aggregation.
 
     ``aggregate(h, att)`` is the placement-specific weighted SpMM: chunked
@@ -70,15 +70,37 @@ def _encode(params, senders, receivers, n_nodes, aggregate, cfg,
     ``softmax``: optional sorted-segment softmax operator (the Pallas
     kernels of ``ops/pallas/softmax.py`` — the XLA formulation costs
     ~65 ms fwd / ~200 ms bwd at 2M edges on v5e vs ~5/6 ms).
+    ``logits_fn(s_src, s_dst) -> [E]``: optional replacement for the two
+    XLA scalar gathers below — per-index issue cost makes them 18 ms fwd /
+    35 ms fwd+grad at 2M edges on v5e, the single largest non-kernel cost
+    of the r3 scale step (STEP_PROFILE.json); the Pallas rank-1 SDDMM
+    (``ops.pallas.sddmm.rank1_logits_fn``) runs 10 / 15 ms.
+
+    ``attention_fn(c, a_dst, h) -> [N, d]``: the fully-fused path
+    (``ops.pallas.rank1_gat.Rank1GatOperator(dst_linear=True)``) —
+    logits, segment softmax and weighted aggregation in one operator
+    with no [E]-length XLA traffic.  It receives the source scalars
+    ``c = h @ a_src``, the raw dst projection vector ``a_dst`` (the
+    fused kernel computes ``t = h @ a_dst`` from its gathered rows —
+    aligned-gather trick), and the features.  Supersedes ``logits_fn``/
+    ``softmax``/``aggregate`` when set; build the operator with the
+    matching ``precision`` (the bf16 cast below is skipped — the
+    operator streams its own payload).
     """
     h = params["feat"] @ params["W"]                     # [N, d]
     d = cfg.d
     s_src = h @ params["a"][:d]                          # [N]
+    if attention_fn is not None:
+        agg = attention_fn(s_src, params["a"][d:], h).astype(jnp.float32)
+        return jax.nn.elu(agg) + h
     s_dst = h @ params["a"][d:]
-    logits = jax.nn.leaky_relu(
-        jnp.take(s_src, senders) + jnp.take(s_dst, receivers),
-        cfg.negative_slope,
-    )                                                    # [E]
+    if logits_fn is not None:
+        logits = logits_fn(s_src, s_dst)                 # [E]
+    else:
+        logits = jax.nn.leaky_relu(
+            jnp.take(s_src, senders) + jnp.take(s_dst, receivers),
+            cfg.negative_slope,
+        )                                                # [E]
     if softmax is not None:
         att = softmax(logits)                            # [E]
     else:
@@ -88,10 +110,12 @@ def _encode(params, senders, receivers, n_nodes, aggregate, cfg,
     return jax.nn.elu(agg) + h                           # residual
 
 
-def _make_loss(senders, receivers, n_nodes, aggregate, cfg, softmax=None):
+def _make_loss(senders, receivers, n_nodes, aggregate, cfg, softmax=None,
+               logits_fn=None, attention_fn=None):
     def loss_fn(params, pos_s, pos_r, neg_s, neg_r):
         z = _encode(params, senders, receivers, n_nodes, aggregate, cfg,
-                    softmax=softmax)
+                    softmax=softmax, logits_fn=logits_fn,
+                    attention_fn=attention_fn)
         pos = jnp.sum(z[pos_s] * z[pos_r], axis=1)
         neg = jnp.sum(z[neg_s] * z[neg_r], axis=1)
         # BCE on link scores (the reference's intended loss, §2.2 #3)

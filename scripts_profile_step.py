@@ -87,7 +87,13 @@ def main():
         return lambda a, b: jax.grad(
             lambda a, b: jnp.vdot(f(a, b), ct_e), argnums=(0, 1))(a, b)
 
-    comp = {}
+    class _LoggingDict(dict):
+        def __setitem__(self, k, v):
+            print(f"  {k}: {v*1e3:.2f} ms  t={time.time()-t0:.0f}s",
+                  file=sys.stderr, flush=True)
+            super().__setitem__(k, v)
+
+    comp = _LoggingDict()
     comp["logits_take_fwd"] = _timeit_chain(logits_take, s_vec, d_vec)
     comp["logits_take_fwd_grad"] = _timeit_chain(gr2(logits_take),
                                                  s_vec, d_vec)
@@ -136,12 +142,15 @@ def main():
 
     opt0 = tx.init(params0)
 
-    def adam_only(params):
+    def adam_only(feat):
+        # chained timer perturbs arg0, which must be an array: rebuild the
+        # param dict around the perturbed feature table
+        params = dict(params0, feat=feat)
         upd, _ = tx.update(jax.tree_util.tree_map(jnp.ones_like, params),
                            opt0)
         return optax.apply_updates(params, upd)
 
-    comp["adam_update"] = _timeit_chain(adam_only, params0)
+    comp["adam_update"] = _timeit_chain(adam_only, params0["feat"])
     out["components"] = comp
     print(f"components done t={time.time()-t0:.0f}s", file=sys.stderr)
     print(json.dumps(comp, indent=2), file=sys.stderr)

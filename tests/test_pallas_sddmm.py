@@ -93,3 +93,56 @@ def test_sddmm_hub_split_matches_xla(rng):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gd_p), np.asarray(gd_x),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_rank1_logits_fn_matches_takes(rng):
+    """The scale-step logits hook (r4): rank-1 GAT logits through the
+    SDDMM kernel must match the XLA take formulation, values and grads."""
+    from msha_gnn_tpu.ops.pallas.sddmm import rank1_logits_fn
+
+    g, _ = make_random_bipartite(rng, 120, 50, density=0.1)
+    e = g.num_edges
+    snd = jnp.asarray(np.asarray(g.senders)[:e])
+    rcv = jnp.asarray(np.asarray(g.receivers)[:e])
+    op = SddmmOperator.build(g, interpret=True)
+    f = rank1_logits_fn(op, e)
+    a = jnp.asarray(rng.standard_normal(120).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(50).astype(np.float32))
+
+    def f_ref(a, b):
+        return jax.nn.leaky_relu(jnp.take(a, snd) + jnp.take(b, rcv), 0.2)
+
+    np.testing.assert_allclose(np.asarray(f(a, b)), np.asarray(f_ref(a, b)),
+                               rtol=1e-4, atol=1e-5)
+    ct = jnp.asarray(rng.standard_normal(e).astype(np.float32))
+    gp = jax.grad(lambda a, b: jnp.vdot(f(a, b), ct), argnums=(0, 1))(a, b)
+    gx = jax.grad(lambda a, b: jnp.vdot(f_ref(a, b), ct),
+                  argnums=(0, 1))(a, b)
+    for p, x in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(x),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_scale_encode_logits_fn_plumbing(rng):
+    """_encode(logits_fn=...) must produce the same embedding as the
+    default take path when given an equivalent logits function."""
+    from msha_gnn_tpu.training.scale import ScaleConfig, _encode, _init_params
+
+    g, _ = make_random_bipartite(rng, 60, 60, density=0.1)
+    e = g.num_edges
+    snd = jnp.asarray(np.asarray(g.senders)[:e])
+    rcv = jnp.asarray(np.asarray(g.receivers)[:e])
+    params = _init_params(jax.random.key(0), 60, 16)
+    cfg = ScaleConfig(d=16)
+
+    def agg(h, att):
+        out = jnp.zeros_like(h)
+        return out.at[snd].add(att[:, None] * h[rcv])
+
+    z0 = _encode(params, snd, rcv, 60, agg, cfg)
+    from msha_gnn_tpu.ops.pallas.sddmm import rank1_logits_fn
+
+    f = rank1_logits_fn(SddmmOperator.build(g, interpret=True), e)
+    z1 = _encode(params, snd, rcv, 60, agg, cfg, logits_fn=f)
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z1),
+                               rtol=1e-4, atol=1e-5)
