@@ -65,7 +65,12 @@ from ...graph import BipartiteGraph
 Array = jax.Array
 
 ROW_BLK = 128
-E_CHUNK = 1024
+# Edge-chunk size of the visit schedule.  Tunable via MSHA_E_CHUNK (set
+# BEFORE importing the package — sibling modules bind the value at
+# import): larger chunks amortise the per-grid-step dispatch overhead at
+# the cost of VMEM block size and extra work on block-straddling chunks.
+# 1024 measured best on v5e at 2M edges (2048/4096 probed, r4).
+E_CHUNK = int(__import__("os").environ.get("MSHA_E_CHUNK", "1024"))
 LANE = 128
 
 
