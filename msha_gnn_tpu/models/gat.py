@@ -39,6 +39,7 @@ from .common import elu, gdp_feature_init, xavier_uniform
 Array = jax.Array
 
 _flash_cache: dict = {}
+_fused_cache: dict = {}
 
 
 class MaskedGATLayer(nn.Module):
@@ -164,6 +165,28 @@ class SparseGATLayer(nn.Module):
         else:
             s_src = h_src @ av[:d]
             s_dst = h_dst @ av[d:]
+        if impl == "fused" and not (train and self.dropout > 0):
+            # fully-fused rank-1 GAT (ops/pallas/rank1_gat.py): logits +
+            # softmax + aggregation in one operator, t = h_dst @ a_dst
+            # computed in-kernel (dst_linear).  Like flash, attention
+            # dropout needs explicit weights, so training with dropout
+            # falls back to the materialised path below.
+            from ..ops.pallas.rank1_gat import Rank1GatOperator
+
+            key = (id(graph.senders), round(self.negative_slope, 6),
+                   self.precision)
+            op = _fused_cache.pop(key, None)
+            if op is None or op.graph.senders is not graph.senders:
+                op = Rank1GatOperator.build(
+                    graph, dst_linear=True,
+                    negative_slope=self.negative_slope,
+                    precision=self.precision)
+            _fused_cache[key] = op
+            if len(_fused_cache) > 8:
+                _fused_cache.pop(next(iter(_fused_cache)))
+            a_dst = (jnp.zeros((d,), h_dst.dtype) if self.self_concat
+                     else av[d:])
+            return elu(op(s_src, a_dst, h_dst))
         # Per-edge rank-1 logits + row softmax.  The scalar-gather SDDMM is
         # always XLA (memory-trivial; the Pallas SDDMM targets vector dots),
         # ``impl`` selects the aggregation path below.
@@ -185,7 +208,7 @@ class SparseGATLayer(nn.Module):
             if len(cache) > 8:
                 cache.pop(next(iter(cache)))
             return elu(op(logits, h_dst))
-        spmm_impl = "pallas" if impl == "flash" else impl
+        spmm_impl = "pallas" if impl in ("flash", "fused") else impl
         att = edge_softmax(graph, logits, impl=spmm_impl)
         att = nn.Dropout(self.dropout, deterministic=not train)(att)
         return elu(spmm(graph, h_dst, edge_weight=att, impl=spmm_impl,

@@ -47,7 +47,10 @@ class LinkPredConfig:
     kd_f: float = 0.1
     kd_p: float = 100.0
     seed: int = 42
-    impl: str = "auto"            # auto | xla | pallas
+    impl: str = "auto"            # auto | xla | pallas | fused
+                                  # ('fused': Rank1GatOperator layers when
+                                  # attention dropout is off, materialised
+                                  # Pallas path during dropout training)
 
 
 def _resolve_impl(impl: str) -> str:
@@ -108,7 +111,7 @@ def run_link_prediction(split, cfg: LinkPredConfig, log=None):
         # arrays at trace time (host-side aligned layout), so it closes
         # over the full graph and ignores the argument.
         def step_body(params, opt_state, g, pos_s, pos_r, neg_s, neg_r, rng):
-            if g_impl == "pallas":
+            if g_impl in ("pallas", "fused"):
                 g = g_closure
             def loss_fn(params):
                 r1, r2, r3, r4 = jax.random.split(rng, 4)

@@ -284,3 +284,15 @@ def test_load_split_pt_numpy_arrays(tmp_path):
     torch.save({"edge": edges}, str(path))  # numpy payload, not tensors
     out = _load_split_pt(str(path))
     np.testing.assert_array_equal(out["edge"], edges)
+
+
+def test_link_prediction_fused_end_to_end():
+    """impl='fused': Rank1GatOperator layers at eval (train falls back to
+    the materialised path under attention dropout) — full train->eval."""
+    split = _tiny_split(seed=3)
+    cfg = LinkPredConfig(hidden=8, epochs=1, batch_size=512, seed=0,
+                         impl="fused")
+    result = run_link_prediction(split, cfg)
+    assert result["impl"] == "fused"
+    assert np.isfinite(result["final_train_loss"])
+    assert np.isfinite(result["auc"])

@@ -158,3 +158,41 @@ def test_rank1_gat_dst_linear_concentrated(rng):
     np.testing.assert_allclose(
         np.asarray(op(c, a, x)), np.asarray(_ref(g, c, x @ a, x)),
         rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_gat_layer_impl_fused_matches_xla(rng):
+    """SparseGATLayer impl='fused' (eval mode) must match impl='xla' —
+    both the standard rank-1 logits and the self-concat parity mode."""
+    import flax.linen as fl
+    from msha_gnn_tpu.models.gat import SparseGATLayer
+
+    g, _ = make_random_bipartite(rng, 120, 120, density=0.05)
+    x = jnp.asarray(rng.standard_normal((120, 12)).astype(np.float32))
+    for sc in (False, True):
+        layer = SparseGATLayer(12, 16, dropout=0.0, self_concat=sc)
+        v = layer.init(jax.random.key(0), g, x, x, train=False)
+        out_x = layer.apply(v, g, x, x, train=False, impl="xla")
+        out_f = layer.apply(v, g, x, x, train=False, impl="fused")
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_x), rtol=1e-4, atol=1e-5,
+            err_msg=f"self_concat={sc}")
+
+
+def test_sparse_gat_layer_fused_gradients(rng):
+    from msha_gnn_tpu.models.gat import SparseGATLayer
+
+    g, _ = make_random_bipartite(rng, 90, 90, density=0.08)
+    x = jnp.asarray(rng.standard_normal((90, 8)).astype(np.float32))
+    layer = SparseGATLayer(8, 8, dropout=0.0)
+    v = layer.init(jax.random.key(1), g, x, x, train=False)
+
+    def loss(v, impl):
+        return (layer.apply(v, g, x, x, train=False, impl=impl) ** 2).sum()
+
+    gx = jax.grad(lambda v: loss(v, "xla"))(v)
+    gf = jax.grad(lambda v: loss(v, "fused"))(v)
+    flat_x = jax.tree_util.tree_leaves(gx)
+    flat_f = jax.tree_util.tree_leaves(gf)
+    for px, pf in zip(flat_x, flat_f):
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(px),
+                                   rtol=5e-3, atol=1e-4)
