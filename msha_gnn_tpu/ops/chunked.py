@@ -36,6 +36,7 @@ from .pallas.spmm import (
     _chunk_schedule,
     _round_up,
     _sddmm_visits_raw,
+    _trace_state_clean,
     _visit_reduce_raw,
 )
 
@@ -187,7 +188,12 @@ class ChunkedSpmm:
         max_vis = max(len(b[3]) for b in built)
         last_block = n_pad_rows // ROW_BLK - 1
         self._max_e_ch = max_e_ch
-        self.slices = []
+        # Schedules stay HOST-side numpy; they are committed to the device
+        # lazily (and only when the trace state is clean — the same rule as
+        # spmm._make_direction).  Building device arrays here would (a)
+        # round-trip GBs through the tunnel at 50M+ edges before they are
+        # needed and (b) tempt trace-time callers into caching tracers.
+        self._slices_np = []
         for w_p, recv_cl, senders, bid, cs, first, last, e_ch in built:
             ep = max_e_ch - e_ch
             vp = max_vis - len(bid)
@@ -200,19 +206,30 @@ class ChunkedSpmm:
             # zero-initialised on its first visit, accumulated after)
             cfirst = np.ones(len(cs_p), np.int32)
             cfirst[1:] = (cs_p[1:] != cs_p[:-1]).astype(np.int32)
-            self.slices.append(tuple(
-                jnp.asarray(a) for a in (
-                    np.pad(w_p, (0, ep)),
-                    np.pad(recv_cl, (0, ep),
-                           constant_values=self.n_dst - 1),
-                    np.pad(senders, (0, ep), constant_values=n_pad_rows),
-                    np.pad(bid, (0, vp), constant_values=last_block),
-                    cs_p,
-                    np.pad(first, (0, vp)),
-                    np.pad(last, (0, vp)),
-                    cfirst,
-                )
+            self._slices_np.append((
+                np.pad(w_p, (0, ep)),
+                np.pad(recv_cl, (0, ep),
+                       constant_values=self.n_dst - 1),
+                np.pad(senders, (0, ep), constant_values=n_pad_rows),
+                np.pad(bid, (0, vp), constant_values=last_block),
+                cs_p,
+                np.pad(first, (0, vp)),
+                np.pad(last, (0, vp)),
+                cfirst,
             ))
+
+    @property
+    def slices(self):
+        """Device-resident per-slice schedule tuples (lazy upload)."""
+        if not hasattr(self, "_slices_dev"):
+            assert _trace_state_clean(), (
+                "ChunkedSpmm.slices first touched under a trace; build "
+                "eagerly or use the fused/stacked path"
+            )
+            self._slices_dev = [
+                tuple(jnp.asarray(a) for a in sl) for sl in self._slices_np
+            ]
+        return self._slices_dev
 
     @classmethod
     def from_host_coo(cls, senders, receivers, weight, *, n_src: int,
@@ -242,17 +259,32 @@ class ChunkedSpmm:
             s, r, w, n_src, n_dst = self._host
             self._t = ChunkedSpmm.from_host_coo(
                 r, s, w, n_src=n_dst, n_dst=n_src,
-                num_slices=len(self.slices),
+                num_slices=len(self._slices_np),
                 interpret=self.interpret, fused=self.fused,
             )
         return self._t
 
     def _ensure_stacked(self):
-        if not hasattr(self, "_stacked"):
-            self._stacked = tuple(
-                jnp.stack(comp) for comp in zip(*self.slices)
+        """Stacked [k, ...] schedule arrays.
+
+        Trace-clean: committed to the device once and cached.  Under a
+        trace (jit / make_jaxpr): returns the HOST numpy stack, NEVER
+        caching trace-local values — the arrays enter the trace as jaxpr
+        constants, which :func:`~msha_gnn_tpu.utils.hoist.hoist_closure`
+        can then lift into executable parameters (the 50M-edge compile
+        payload otherwise exceeds remoted-runtime transport limits)."""
+        if hasattr(self, "_stacked"):
+            return self._stacked
+        if not hasattr(self, "_stacked_np"):
+            self._stacked_np = tuple(
+                np.stack(comp) for comp in zip(*self._slices_np)
             )
-        return self._stacked
+        if _trace_state_clean():
+            self._stacked = tuple(
+                jnp.asarray(a) for a in self._stacked_np
+            )
+            return self._stacked
+        return self._stacked_np
 
     def partition_weights(self, w):
         """CSR-edge-order scalars [E] -> the stacked [k, E_max] slice layout
@@ -273,17 +305,23 @@ class ChunkedSpmm:
         return self._apply(x, edge_weight)
 
     def _build_trainable(self):
-        stacked = self._ensure_stacked()
         t = self._transpose_op()
-        t_stacked = t._ensure_stacked()
         n_src, n_dst = self.n_src, self.n_dst
         interp = self.interpret
         bounds, e = self._bounds, self.num_edges
-        # CSR -> transpose(CSC) edge-order permutation, device-resident
-        perm_t = jnp.asarray(t._input_perm.astype(np.int32))
+        # CSR -> transpose(CSC) edge-order permutation.  Kept as HOST
+        # numpy in the closure: a jnp array captured here would be a
+        # tracer if this builder first runs under a trace (the r3
+        # softmax-cache regression class); numpy enters each trace as a
+        # fresh jaxpr constant instead.
+        perm_t = t._input_perm.astype(np.int32)
 
+        # The schedule stacks are fetched per trace via _ensure_stacked()
+        # (device-cached when eager, per-trace numpy consts when traced)
+        # rather than captured once — the closure itself is cached on self.
         @jax.custom_vjp
         def apply_fn(x, w):
+            stacked = self._ensure_stacked()
             w_s = self.partition_weights(w)
             return _fused_spmm(x, w_s, *stacked[1:7], n_rows=n_src,
                                interpret=interp)
@@ -293,6 +331,8 @@ class ChunkedSpmm:
 
         def apply_bwd(res, g):
             x, w = res
+            stacked = self._ensure_stacked()
+            t_stacked = t._ensure_stacked()
             w_t = jnp.take(w[:e], perm_t)            # CSR -> CSC order
             w_ts = t.partition_weights(w_t)
             dx = _fused_spmm(g, w_ts, *t_stacked[1:7], n_rows=n_dst,

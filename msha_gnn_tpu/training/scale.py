@@ -128,18 +128,49 @@ def _make_loss(senders, receivers, n_nodes, aggregate, cfg, softmax=None,
 
 
 def _train(loss_fn, params, senders_np, receivers_np, n_nodes, cfg,
-           log: Optional[Callable] = None) -> Dict:
+           log: Optional[Callable] = None, hoist: bool = False) -> Dict:
     tx = optax.adam(cfg.lr)
     opt = tx.init(params)
     e = len(senders_np)
 
-    @jax.jit
-    def step(params, opt, pos_s, pos_r, neg_s, neg_r):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, pos_s, pos_r, neg_s, neg_r
+    if hoist:
+        # The loss closes over the operators' visit schedules and the full
+        # edge arrays — GBs at 50M edges.  Hoist them into executable
+        # parameters so the compile payload stays small (the axon remote
+        # compile rejects constant-laden modules with HTTP 413).
+        from ..utils.hoist import hoist_closure
+
+        # Hoist value_and_grad(loss), not the bare loss: custom_vjp
+        # BACKWARD closures are only traced during grad, so hoisting the
+        # forward alone leaves the adjoints' schedule arrays (transpose
+        # stacks, CSC permutation) to re-enter the jit trace as embedded
+        # constants — measured ~400 MB of literals at 5M edges.
+        zi = jnp.zeros(cfg.batch_edges, jnp.int32)
+        converted, consts = hoist_closure(
+            jax.value_and_grad(loss_fn), params, zi, zi, zi, zi
         )
-        updates, opt = tx.update(grads, opt)
-        return optax.apply_updates(params, updates), opt, loss
+        # Commit once: consts captured as HOST numpy (the under-trace
+        # schedule stacks) would otherwise re-upload GBs on every step.
+        consts = tuple(jnp.asarray(c) for c in consts)
+
+        @jax.jit
+        def _hoisted_step(params, opt, pos_s, pos_r, neg_s, neg_r, consts):
+            loss, grads = converted(consts, params, pos_s, pos_r, neg_s,
+                                    neg_r)
+            updates, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, updates), opt, loss
+
+        def step(params, opt, pos_s, pos_r, neg_s, neg_r):
+            return _hoisted_step(params, opt, pos_s, pos_r, neg_s, neg_r,
+                                 consts)
+    else:
+        @jax.jit
+        def step(params, opt, pos_s, pos_r, neg_s, neg_r):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, pos_s, pos_r, neg_s, neg_r
+            )
+            updates, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, updates), opt, loss
 
     rng = np.random.default_rng(cfg.seed)
     history: List[float] = []
@@ -213,7 +244,7 @@ def train_chunked(senders, receivers, n_nodes: int,
     loss_fn = _make_loss(senders_dev, receivers_dev, n_nodes, aggregate,
                          cfg, softmax=softmax_op)
     params = _init_params(jax.random.key(cfg.seed), n_nodes, cfg.d)
-    out = _train(loss_fn, params, s, r, n_nodes, cfg, log)
+    out = _train(loss_fn, params, s, r, n_nodes, cfg, log, hoist=True)
     out["num_slices"] = num_slices
     out["topology"] = "single-chip out-of-core"
     return out
