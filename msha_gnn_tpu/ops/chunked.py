@@ -41,16 +41,29 @@ from .pallas.spmm import (
 )
 
 
-def _slice_spmm_body(x, w, recv_cl, senders, bid, cs, first, last,
-                     n_rows: int, interpret: bool):
-    """One edge slice: bare clamped gather + weighted visit-scheduled
-    Pallas reduce (weights and masking are applied inside the kernel; pad
-    edges carry ``w = 0`` + an out-of-block sender sentinel)."""
+def _pad_features(x):
+    """Pad x to the lane width BEFORE the row gather, behind an
+    optimization barrier.  Two measured traps at once (50M-edge step
+    trace, r4): a take whose operand is fused with its producer — or
+    whose pad-consumer fuses back into it — scalarises (~1.7 ns/element
+    instead of ~3 ns/row: 227 ms vs 16 ms per 4.2M-row slice), and
+    unaligned (non-LANE) row gathers fall off the TPU fast path (the
+    rank1_gat aligned-gather measurement).  Padding first costs one
+    [N, d_pad] copy, shared by every slice."""
     d_feat = x.shape[1]
     d_pad = _round_up(d_feat, LANE)
-    gathered = jnp.take(x, recv_cl, axis=0)
     if d_pad != d_feat:
-        gathered = jnp.pad(gathered, ((0, 0), (0, d_pad - d_feat)))
+        x = jnp.pad(x, ((0, 0), (0, d_pad - d_feat)))
+    return jax.lax.optimization_barrier(x), d_feat
+
+
+def _slice_spmm_body(x_pad, d_feat, w, recv_cl, senders, bid, cs, first,
+                     last, n_rows: int, interpret: bool):
+    """One edge slice: bare clamped gather + weighted visit-scheduled
+    Pallas reduce (weights and masking are applied inside the kernel; pad
+    edges carry ``w = 0`` + an out-of-block sender sentinel).  ``x_pad``
+    comes from :func:`_pad_features`."""
+    gathered = jnp.take(x_pad, recv_cl, axis=0)
     out = _visit_reduce_raw(gathered, w, senders, bid, cs, first, last,
                             n_rows, interpret)
     return out[:, :d_feat]
@@ -62,8 +75,9 @@ def _slice_spmm(x, w, recv_cl, senders, bid, cs, first, last, *, n_rows: int,
     """Jitted single-slice entry.  All edge arrays are arguments, never
     closure constants (closure-captured arrays become jaxpr constants and
     blow up program serialisation at 50M+ edges)."""
-    return _slice_spmm_body(x, w, recv_cl, senders, bid, cs, first, last,
-                            n_rows, interpret)
+    x_pad, d_feat = _pad_features(x)
+    return _slice_spmm_body(x_pad, d_feat, w, recv_cl, senders, bid, cs,
+                            first, last, n_rows, interpret)
 
 
 @partial(jax.jit, static_argnames=("n_rows", "interpret"))
@@ -73,10 +87,12 @@ def _fused_spmm(x, w_s, recv_s, snd_s, bid_s, cs_s, first_s, last_s, *,
     slice arrays, accumulating the output.  Identical math to the
     per-slice loop; saves (k-1) host dispatches per pass — on tunnelled
     runtimes dispatch latency dominates the pass wall-clock."""
+    x_pad, d_feat = _pad_features(x)
+
     def body(acc, sl):
         w, recv_cl, senders, bid, cs, first, last = sl
-        part = _slice_spmm_body(x, w, recv_cl, senders, bid, cs, first,
-                                last, n_rows, interpret)
+        part = _slice_spmm_body(x_pad, d_feat, w, recv_cl, senders, bid,
+                                cs, first, last, n_rows, interpret)
         return acc + part, None
 
     acc0 = jnp.zeros((n_rows, x.shape[1]), jnp.float32)
@@ -100,12 +116,11 @@ def _fused_sddmm(g, x, recv_s, snd_s, bid_s, cs_s, cfirst_s, *, n_rows: int,
         g.astype(jnp.float32),
         ((0, n_pad_rows - g.shape[0]), (0, d_pad - d_feat)),
     )
+    x_pad, _ = _pad_features(x)
 
     def body(_, sl):
         recv_cl, senders, bid, cs, cfirst = sl
-        dst_ord = jnp.take(x, recv_cl, axis=0)
-        if d_pad != d_feat:
-            dst_ord = jnp.pad(dst_ord, ((0, 0), (0, d_pad - d_feat)))
+        dst_ord = jnp.take(x_pad, recv_cl, axis=0)
         dw = _sddmm_visits_raw(g_p, dst_ord, senders, bid, cs, cfirst,
                                interpret)
         return None, dw

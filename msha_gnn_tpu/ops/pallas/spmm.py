@@ -344,8 +344,16 @@ class _Direction:
 
 
 def _trace_state_clean() -> bool:
+    # jax 0.9 removed the jax.core re-export; fall back to the _src home
+    # (a silent always-False here disables every eager device-commit
+    # cache in the kernel stack — regression-tested in tests/test_hoist).
     try:
         return jax.core.trace_state_clean()
+    except AttributeError:
+        pass
+    try:
+        from jax._src.core import trace_state_clean
+        return trace_state_clean()
     except Exception:
         return False
 

@@ -131,3 +131,22 @@ def test_train_chunked_hoisted_matches_unhoisted():
         S._train = orig
     np.testing.assert_allclose(r_hoist["loss_history"],
                                r_plain["loss_history"], rtol=1e-5)
+
+
+def test_trace_state_probe_works_on_this_jax():
+    """jax 0.9 removed jax.core.trace_state_clean; the helper must still
+    distinguish eager from traced (an always-False probe silently
+    disables every eager device-commit cache in the kernel stack)."""
+    from msha_gnn_tpu.ops.pallas.spmm import _trace_state_clean
+
+    assert _trace_state_clean() is True
+    seen = {}
+
+    @jax.jit
+    def f(x):
+        seen["in_trace"] = _trace_state_clean()
+        return x
+
+    f(jnp.ones(2))
+    assert seen["in_trace"] is False
+    assert _trace_state_clean() is True
