@@ -335,6 +335,34 @@ class SegmentSoftmaxOperator:
         apply_fn.defvjp(apply_fwd, apply_bwd)
         self._apply = apply_fn
 
+        # Differentiable sorted row-broadcast: v[row] -> v[senders[e]]
+        # riding the SAME visit schedule.  The XLA formulation is a
+        # per-edge scalar take (~7 ns/index: 350 ms at 50M edges) whose
+        # adjoint is a serial scatter-add (~800 ms); here the forward is
+        # the _expand kernel (block-local one-hot select) and the
+        # adjoint the _rowsum kernel — the sorted-side rank-1 GAT logit
+        # term costs ~25 + 125 ms at 50M instead (50M-edge step trace,
+        # r4).  Pad edges (sentinel senders) broadcast to 0 and
+        # contribute nothing to the adjoint.
+        n_rows = sched.n_rows
+        n_pad = _round_up(max(n_rows, ROW_BLK), ROW_BLK)
+
+        @jax.custom_vjp
+        def broadcast_fn(v):
+            v_pad = jnp.pad(v.astype(jnp.float32)[:, None],
+                            ((0, n_pad - n_rows), (0, 0)))
+            return _expand(sched, v_pad, interp)[: sched.e_pad]
+
+        def broadcast_fwd(v):
+            return broadcast_fn(v), None
+
+        def broadcast_bwd(_, g):
+            rs = _rowsum(sched, _pad_edges(g, sched.e_ch), interp)
+            return (rs[:n_rows, 0],)
+
+        broadcast_fn.defvjp(broadcast_fwd, broadcast_bwd)
+        self.broadcast_rows = broadcast_fn
+
     @staticmethod
     def build(graph: BipartiteGraph, interpret: Optional[bool] = None):
         # graph.edge_mask would run `senders < n_src` through the current

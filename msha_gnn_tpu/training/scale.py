@@ -97,8 +97,15 @@ def _encode(params, senders, receivers, n_nodes, aggregate, cfg,
     if logits_fn is not None:
         logits = logits_fn(s_src, s_dst)                 # [E]
     else:
+        # sender term: edges are CSR-sorted, so the sorted row-broadcast
+        # kernel (fwd _expand / adjoint _rowsum) replaces the per-index
+        # scalar take + serial scatter-add — ~1 s saved at 50M edges
+        src_term = (softmax.broadcast_rows(s_src)
+                    if softmax is not None
+                    and hasattr(softmax, "broadcast_rows")
+                    else jnp.take(s_src, senders))
         logits = jax.nn.leaky_relu(
-            jnp.take(s_src, senders) + jnp.take(s_dst, receivers),
+            src_term + jnp.take(s_dst, receivers),
             cfg.negative_slope,
         )                                                # [E]
     if softmax is not None:

@@ -148,3 +148,30 @@ def test_segment_softmax_pallas_arbitrary_mask(rng):
                                       mask=jnp.asarray(mask)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     assert np.all(got[~mask] == 0.0)
+
+
+def test_broadcast_rows_matches_take_and_grad(rng):
+    """Sorted row-broadcast (fwd _expand / adjoint _rowsum) vs the XLA
+    scalar take it replaces, values and gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from msha_gnn_tpu.ops.pallas.softmax import SegmentSoftmaxOperator
+
+    n, e = 60, 400
+    senders = np.sort(rng.integers(0, n, e).astype(np.int32))
+    cnt = np.bincount(senders, minlength=n)
+    row_ptr = np.concatenate([[0], np.cumsum(cnt)])
+    op = SegmentSoftmaxOperator(senders, row_ptr, n, interpret=True)
+    v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    got = np.asarray(op.broadcast_rows(v))
+    want = np.asarray(v)[senders]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    ct = jnp.asarray(rng.standard_normal(e).astype(np.float32))
+    g_got = jax.grad(lambda v: jnp.vdot(op.broadcast_rows(v), ct))(v)
+    g_want = jax.grad(
+        lambda v: jnp.vdot(jnp.take(v, jnp.asarray(senders)), ct))(v)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-5, atol=1e-6)
