@@ -139,6 +139,13 @@ def main():
         t_gather16 = _timeit_chain(
             lambda x16: jnp.take(x16, recv, axis=0), x16
         )
+        # single-path bf16: the two-phase floor is a bound on two-phase
+        # (gather-then-reduce) schedules, so its fraction must divide by
+        # the SINGLE-PATH kernel in both dtypes (the hub path is
+        # architected past this floor by design; dividing the bf16 floor
+        # by the hub time was half of the r4 ">1 floor fraction" bug)
+        op_ns16 = SpmmOperator.build(g, hub_split=0, precision="bf16")
+        t_ns16 = _timeit_chain(lambda x: op_ns16(x), x)
 
         hub = op.fwd_split.hub if op.fwd_split is not None else None
         return {
@@ -165,10 +172,17 @@ def main():
                 # bf16 rows are informational: the bf16 gather measures
                 # SLOWER than f32 on this chip (half-width rows hit the same
                 # issue bound), so the bf16 win comes from kernel-stream
-                # traffic, not the gather — floor uses the cheaper gather
+                # traffic, not the gather — floor uses the cheaper gather.
+                # The bf16 stream model halves ONLY the edge-value bytes:
+                # the int32 index/weight streams and the f32 output do not
+                # shrink (the r4 model halved everything and reported a
+                # fraction > 1 — "past the floor" was a model bug, not a
+                # measurement; VERDICT r4 weak #6).
                 "gather_bf16_seconds": t_gather16,
+                "seconds_single_path_bf16": t_ns16,
                 "two_phase_floor_fraction_bf16":
-                    (min(t_gather16, t_gather) + t_stream / 2) / t_p16,
+                    (min(t_gather16, t_gather)
+                     + (e_ch * (2 * d + 8) + n * d * 4) / bw) / t_ns16,
             },
             "spmm_xla": {"seconds": t_x, "edges_per_s": e / t_x},
         }

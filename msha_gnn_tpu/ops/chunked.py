@@ -237,10 +237,14 @@ class ChunkedSpmm:
     def slices(self):
         """Device-resident per-slice schedule tuples (lazy upload)."""
         if not hasattr(self, "_slices_dev"):
-            assert _trace_state_clean(), (
-                "ChunkedSpmm.slices first touched under a trace; build "
-                "eagerly or use the fused/stacked path"
-            )
+            # RuntimeError, not assert: the guard must survive `python -O`
+            # (a stripped assert would silently cache tracers here — the
+            # r3 UnexpectedTracerError regression class)
+            if not _trace_state_clean():
+                raise RuntimeError(
+                    "ChunkedSpmm.slices first touched under a trace; build "
+                    "eagerly or use the fused/stacked path"
+                )
             self._slices_dev = [
                 tuple(jnp.asarray(a) for a in sl) for sl in self._slices_np
             ]

@@ -32,10 +32,21 @@ from __future__ import annotations
 from typing import Any, Callable, Tuple
 
 import jax
-from jax import core
 from jax.tree_util import tree_flatten, tree_unflatten
 
 __all__ = ["hoist_closure"]
+
+
+def _eval_jaxpr(jaxpr, consts, *args):
+    # jax 0.9 removed other jax.core re-exports (see spmm.py's
+    # _trace_state_clean); guard this one the same way so the next jax
+    # bump degrades loudly at import of the private home, not silently.
+    try:
+        return jax.core.eval_jaxpr(jaxpr, consts, *args)
+    except AttributeError:
+        pass
+    from jax._src.core import eval_jaxpr
+    return eval_jaxpr(jaxpr, consts, *args)
 
 
 def hoist_closure(fn: Callable, *example_args: Any
@@ -67,6 +78,9 @@ def hoist_closure(fn: Callable, *example_args: Any
     jaxpr = closed.jaxpr
     out_tree = store["out_tree"]
 
+    # consts bind to jaxpr.constvars; invars are exactly the call args
+    arg_avals = jaxpr.invars
+
     def converted(consts, *args):
         flat_args, in_tree2 = tree_flatten(args)
         if in_tree2 != in_tree:
@@ -74,7 +88,22 @@ def hoist_closure(fn: Callable, *example_args: Any
                 "hoist_closure: argument structure changed since trace: "
                 f"expected {in_tree}, got {in_tree2}"
             )
-        out_flat = core.eval_jaxpr(jaxpr, list(consts), *flat_args)
+        # shape/dtype check against the traced avals: a same-structure
+        # call with different shapes would otherwise fail deep inside
+        # eval_jaxpr (or silently broadcast in shape-polymorphic ops)
+        for i, (a, v) in enumerate(zip(flat_args, arg_avals)):
+            aval = v.aval
+            shape = getattr(a, "shape", ())
+            dtype = getattr(a, "dtype", None)
+            if tuple(shape) != tuple(aval.shape) or (
+                dtype is not None and dtype != aval.dtype
+            ):
+                raise TypeError(
+                    f"hoist_closure: flat arg {i} has shape/dtype "
+                    f"{tuple(shape)}/{dtype}, but the trace expects "
+                    f"{tuple(aval.shape)}/{aval.dtype}"
+                )
+        out_flat = _eval_jaxpr(jaxpr, list(consts), *flat_args)
         return tree_unflatten(out_tree, out_flat)
 
     return converted, consts

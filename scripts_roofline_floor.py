@@ -75,8 +75,14 @@ def main():
     op_ah16 = SpmmOperator.build(g_hub, precision="bf16")
     t_allhub16 = _timeit_chain(lambda x: op_ah16(x), x)
 
-    # hub coverage of the bench graph (edges served from the table)
-    hub_ids = np.asarray(op.fwd_split.hub.hub_ids)
+    # hub coverage of the bench graph (edges served from the table).
+    # hub_ids is zero-padded past the effective hub count (spmm.py builds
+    # np.zeros(h) then fills [:heff]) — slice to the real entries or the
+    # isin would count all receiver-0 edges as hub-served.
+    assert op.fwd_split is not None, "bench graph declined the hub split"
+    hub_ids_all = np.asarray(op.fwd_split.hub.hub_ids)
+    heff = min(int(op.fwd_split.hub.n_hub), g.n_dst)
+    hub_ids = hub_ids_all[:heff]
     cold_edges = int(np.sum(~np.isin(
         np.asarray(g.receivers)[:e], hub_ids)))
     cold_frac = cold_edges / e
