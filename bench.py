@@ -202,12 +202,31 @@ def main():
         t_w_ns = _timeit_chain(
             lambda x, w: op_ns(x, edge_weight=w), x, w_att)
 
-        def grad_of(o):
-            return lambda x, w: jax.grad(
-                lambda x, w: jnp.vdot(o(x, edge_weight=w), ct),
-                argnums=(0, 1))(x, w)
-        t_wg = _timeit_chain(grad_of(op), x, w_att)
-        t_wg_ns = _timeit_chain(grad_of(op_ns), x, w_att)
+        # fwd+grad methodology (r5 fix): the chained timer perturbs arg0
+        # and consumes the FIRST output leaf.  The r4 rows perturbed x —
+        # but dx = A^T ct is CONSTANT in x, so XLA could hoist the dx pass
+        # out of the timing loop and (with the two-kernel backward) DCE
+        # the dw SDDMM whose output the chain never consumed.  Perturbing
+        # the COTANGENT and reducing value+dx+dw into the consumed scalar
+        # makes every pass loop-variant and live.
+        def vg_all(o):
+            def f(ct_, x_, w_):
+                # tie x to the perturbed cotangent so the FORWARD is also
+                # loop-variant (one cheap elementwise pass, the chain's
+                # documented bias class)
+                x_ = x_ + ct_[0, 0] * 1e-30
+                v, (gx, gw) = jax.value_and_grad(
+                    lambda x_, w_: jnp.vdot(o(x_, edge_weight=w_), ct_),
+                    argnums=(0, 1))(x_, w_)
+                return v + gx.sum() + gw.sum()
+            return f
+
+        t_wg = _timeit_chain(vg_all(op), ct, x, w_att)
+        t_wg_ns = _timeit_chain(vg_all(op_ns), ct, x, w_att)
+        # A/B: the r4 two-kernel backward (separate dw SDDMM) vs the r5
+        # fused dx+dw single-pass backward now on `op`
+        op_r4bwd = SpmmOperator.build(g, fused_bwd=False)
+        t_wg_r4 = _timeit_chain(vg_all(op_r4bwd), ct, x, w_att)
         # weighted strict adds the per-edge attention read
         strict_w = C.strict + e_pad * 4
         phase_w = C.phase + e_pad * 4
@@ -223,6 +242,8 @@ def main():
             "fwd_grad_seconds": t_wg,
             "fwd_grad_seconds_single_path": t_wg_ns,
             "fwd_grad_speedup": t_wg_ns / t_wg,
+            "fwd_grad_seconds_r4_two_kernel_bwd": t_wg_r4,
+            "fused_bwd_speedup": t_wg_r4 / t_wg,
         }}
 
     def sec_scale_step():

@@ -165,27 +165,36 @@ class SparseGATLayer(nn.Module):
         else:
             s_src = h_src @ av[:d]
             s_dst = h_dst @ av[d:]
-        if impl == "fused" and not (train and self.dropout > 0):
+        if impl == "fused":
             # fully-fused rank-1 GAT (ops/pallas/rank1_gat.py): logits +
             # softmax + aggregation in one operator, t = h_dst @ a_dst
-            # computed in-kernel (dst_linear).  Like flash, attention
-            # dropout needs explicit weights, so training with dropout
-            # falls back to the materialised path below.
+            # computed in-kernel (dst_linear).  Attention dropout runs
+            # IN-KERNEL (r5): the keep mask is hashed from (seed, edge
+            # slot) inside both the forward and the recompute backward,
+            # so reference-default training configs (dropout 0.5,
+            # train.py:28) run fused instead of falling back.
             from ..ops.pallas.rank1_gat import Rank1GatOperator
 
+            rate = float(self.dropout) if (train and self.dropout > 0) \
+                else 0.0
             key = (id(graph.senders), round(self.negative_slope, 6),
-                   self.precision)
+                   self.precision, rate)
             op = _fused_cache.pop(key, None)
             if op is None or op.graph.senders is not graph.senders:
                 op = Rank1GatOperator.build(
                     graph, dst_linear=True,
                     negative_slope=self.negative_slope,
-                    precision=self.precision)
+                    precision=self.precision, dropout_rate=rate)
             _fused_cache[key] = op
             if len(_fused_cache) > 8:
                 _fused_cache.pop(next(iter(_fused_cache)))
             a_dst = (jnp.zeros((d,), h_dst.dtype) if self.self_concat
                      else av[d:])
+            if rate > 0:
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(self.make_rng("dropout"), (1,),
+                                    jnp.uint32), jnp.int32)
+                return elu(op.drop(s_src, a_dst, h_dst, seed))
             return elu(op(s_src, a_dst, h_dst))
         # Per-edge rank-1 logits + row softmax.  The scalar-gather SDDMM is
         # always XLA (memory-trivial; the Pallas SDDMM targets vector dots),

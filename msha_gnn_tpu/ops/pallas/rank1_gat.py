@@ -63,6 +63,34 @@ def _leaky(pre, slope):
     return jnp.where(pre >= 0, pre, slope * pre)
 
 
+def _hash01(eidx, seed):
+    """Per-edge-slot uniform in [0, 1) from a counter-based int32 hash
+    (murmur3 finalizer).  Keyed on the *global direction edge slot* — not
+    the chunk visit — so the forward pass and the recompute backward
+    regenerate the identical dropout mask by construction, with no mask
+    array in HBM and no dependence on TPU PRNG state ordering (also runs
+    under interpret mode, where ``pltpu.prng_*`` is unavailable).
+    int32 arithmetic wraps on TPU/XLA, which is exactly what the mixer
+    wants.  ``eidx``: int32 [1, E_CHUNK]; ``seed``: int32 scalar."""
+    h = eidx * jnp.int32(-1640531527) + seed          # golden-ratio spread
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * jnp.int32(-2048144789)                    # 0x85EBCA6B
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h * jnp.int32(-1028477387)                    # 0xC2B2AE35
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    # low 24 bits -> exact f32 in [0, 1)
+    return (h & jnp.int32(0xFFFFFF)).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _keep_scale(cs_ref, k, e_chunk, sd_ref, rate):
+    """[1, E_CHUNK] inverted-dropout factor: 1/(1-rate) where kept, 0
+    where dropped, for the chunk's global edge slots."""
+    slot0 = cs_ref[k] * e_chunk
+    eidx = slot0 + jax.lax.broadcasted_iota(jnp.int32, (1, e_chunk), 1)
+    u = _hash01(eidx, sd_ref[0])
+    return jnp.where(u >= rate, 1.0 / (1.0 - rate), 0.0)
+
+
 def _r1_fwd_kernel(bid_ref, cs_ref, first_ref, last_ref, send_ref, c_ref,
                    xt_ref, outa_ref, ms_ref, m_scr, s_scr, *, d_feat,
                    slope, lo_pass):
@@ -203,14 +231,21 @@ def _r1_bwd_kernel(bid_ref, cs_ref, cfirst_ref, first_ref, last_ref,
         dc_ref[:] = acc_scr[:]
 
 
-def _r1l_fwd_kernel(bid_ref, cs_ref, first_ref, last_ref, send_ref, c_ref,
-                    a_ref, x_ref, outa_ref, ms_ref, m_scr, s_scr, *,
-                    slope, lo_pass):
+def _r1l_fwd_kernel(bid_ref, cs_ref, first_ref, last_ref, sd_ref, send_ref,
+                    c_ref, a_ref, x_ref, outa_ref, ms_ref, m_scr, s_scr, *,
+                    slope, lo_pass, rate=0.0):
     """dst_linear forward: t_e = <x_row_e, a> computed IN-KERNEL from the
     aligned gathered x rows — the augmented-column layout's unaligned
     (d+1)-wide gather costs 5x the aligned one (32.8 vs 6.5 ms at 2M
     edges, r4 probe), so when t is linear in the payload (every GAT:
-    ``t = h @ a_dst``) this mode is strictly better."""
+    ``t = h @ a_dst``) this mode is strictly better.
+
+    ``rate > 0`` applies inverted attention dropout *after* the softmax
+    normalisation (reference semantics, ``GAT.py:32-34``: dropout on the
+    normalised attention, denominator untouched): the softmax stats
+    accumulate the unmasked ``p`` while the aggregation matrix carries
+    ``p * keep/(1-rate)``, with the keep mask hashed in-register from
+    the global edge slot (``_hash01``) — no [E] mask in HBM."""
     k = pl.program_id(0)
     row0 = bid_ref[k] * ROW_BLK
 
@@ -244,7 +279,9 @@ def _r1l_fwd_kernel(bid_ref, cs_ref, first_ref, last_ref, send_ref, c_ref,
         jnp.where(onehot_b, p, 0.0), axis=1, keepdims=True
     )
 
-    oh = jnp.where(onehot_b, p, 0.0)
+    p_agg = (p * _keep_scale(cs_ref, k, E_CHUNK, sd_ref, rate)
+             if rate > 0.0 else p)
+    oh = jnp.where(onehot_b, p_agg, 0.0)
     oh_hi = oh.astype(jnp.bfloat16)
     if lo_pass:
         x32 = x_blk.astype(jnp.float32)
@@ -266,13 +303,21 @@ def _r1l_fwd_kernel(bid_ref, cs_ref, first_ref, last_ref, send_ref, c_ref,
 
 
 def _r1l_bwd_kernel(bid_ref, cs_ref, cfirst_ref, first_ref, last_ref,
-                    send_ref, c_ref, a_ref, x_ref, gout_ref, out_ref,
-                    lse_ref, z_ref, dc_ref, da_ref, acc_scr, *, slope):
+                    sd_ref, send_ref, c_ref, a_ref, x_ref, gout_ref,
+                    out_ref, lse_ref, z_ref, dc_ref, da_ref, acc_scr, *,
+                    slope, rate=0.0):
     """dst_linear backward: the logit term's dx contribution folds into z
     (``z'_e = att_e * gout_row + dpre_e * a``) so ONE d_pad-wide
     transpose reduce yields the whole dx; ``da`` accumulates in a
     VMEM-resident output block across every chunk (one MXU [1,E]@[E,d]
-    per visit); ``dc`` accumulates per row like the stats kernel."""
+    per visit); ``dc`` accumulates per row like the stats kernel.
+
+    Dropout (``rate > 0``) regenerates the forward's keep mask from the
+    same (seed, edge-slot) hash.  With ``q_e = keep_e/(1-rate) * att_e``
+    and dropout after normalisation, the softmax VJP becomes
+    ``dl_f = q_f <g, x_f> - att_f <g, out>`` — the dropped weights ride
+    ``z`` (hence dx and the <g,x> term), while the shift term keeps the
+    *undropped* ``att`` (the denominator never saw the mask)."""
     k = pl.program_id(0)
 
     @pl.when(cfirst_ref[k] != 0)
@@ -311,6 +356,8 @@ def _r1l_bwd_kernel(bid_ref, cs_ref, cfirst_ref, first_ref, last_ref,
     live = valid & (lse_sel > NEG * 0.5)
     att = jnp.where(live,
                     jnp.exp(jnp.where(live, l - lse_sel, 0.0)), 0.0)
+    q = (att * _keep_scale(cs_ref, k, E_CHUNK, sd_ref, rate)
+         if rate > 0.0 else att)
 
     local_c = send_ref[:].reshape(E_CHUNK, 1) - row0
     cols = jax.lax.broadcasted_iota(jnp.int32, (E_CHUNK, ROW_BLK), 1)
@@ -321,7 +368,7 @@ def _r1l_bwd_kernel(bid_ref, cs_ref, cfirst_ref, first_ref, last_ref,
     gathered_g = jnp.dot(onehot_t, g_hi, preferred_element_type=jnp.float32)
     gathered_g += jnp.dot(onehot_t, g_lo, preferred_element_type=jnp.float32)
 
-    z = att.reshape(E_CHUNK, 1) * gathered_g
+    z = q.reshape(E_CHUNK, 1) * gathered_g
 
     att_dot_gx = jnp.sum(z * x_blk, axis=1)
     d_row = jnp.sum(gb * out_ref[:], axis=1, keepdims=True)
@@ -377,7 +424,8 @@ class Rank1GatOperator:
                  spmm: Optional[SpmmOperator] = None,
                  negative_slope: float = 0.2,
                  precision: str = "f32",
-                 dst_linear: bool = False):
+                 dst_linear: bool = False,
+                 dropout_rate: float = 0.0):
         self.graph = graph
         self.spmm = spmm if spmm is not None else SpmmOperator(graph, interpret)
         self.interpret = self.spmm.interpret
@@ -566,7 +614,12 @@ class Rank1GatOperator:
         self._apply = apply_fn
 
         # ---- dst_linear mode: t = x @ a computed in-kernel ----
-        def fwd_impl_lin(c, a, x):
+        # zero seed for the no-dropout entry: host numpy, NEVER jnp — the
+        # operator is built inside traced model calls and a jnp const
+        # here would be a captured tracer (the r3 leak class)
+        zero_seed = np.zeros((1,), np.int32)
+
+        def fwd_impl_lin(c, a, x, seed, rate):
             d_feat = x.shape[1]
             d_pad = _round_up(d_feat, LANE)
             xx = x.astype(jnp.bfloat16 if prec == "bf16" else jnp.float32)
@@ -580,35 +633,35 @@ class Rank1GatOperator:
 
             outa, ms = pl.pallas_call(
                 functools.partial(_r1l_fwd_kernel, slope=slope,
-                                  lo_pass=prec != "bf16"),
+                                  lo_pass=prec != "bf16", rate=rate),
                 grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=4,
+                    num_scalar_prefetch=5,
                     grid=(int(dir_.bid.shape[0]),),
                     in_specs=[
                         pl.BlockSpec((1, E_CHUNK),
-                                     lambda k, bid, cs, first, last:
+                                     lambda k, bid, cs, first, last, sd:
                                      (0, cs[k]),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((ROW_BLK, 1),
-                                     lambda k, bid, cs, first, last:
+                                     lambda k, bid, cs, first, last, sd:
                                      (bid[k], 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((8, d_pad),
-                                     lambda k, bid, cs, first, last:
+                                     lambda k, bid, cs, first, last, sd:
                                      (0, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((E_CHUNK, d_pad),
-                                     lambda k, bid, cs, first, last:
+                                     lambda k, bid, cs, first, last, sd:
                                      (cs[k], 0),
                                      memory_space=pltpu.VMEM),
                     ],
                     out_specs=(
                         pl.BlockSpec((ROW_BLK, d_pad),
-                                     lambda k, bid, cs, first, last:
+                                     lambda k, bid, cs, first, last, sd:
                                      (bid[k], 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((ROW_BLK, 2),
-                                     lambda k, bid, cs, first, last:
+                                     lambda k, bid, cs, first, last, sd:
                                      (bid[k], 0),
                                      memory_space=pltpu.VMEM),
                     ),
@@ -629,7 +682,7 @@ class Rank1GatOperator:
                     transcendentals=2 * dir_.e_ch,
                 ),
                 interpret=interp,
-            )(dir_.bid, dir_.cs, dir_.first, dir_.last,
+            )(dir_.bid, dir_.cs, dir_.first, dir_.last, seed,
               dir_.senders.reshape(1, dir_.e_ch), c_pad, a_in, x_ord)
 
             m = ms[: g.n_src, 0]
@@ -640,7 +693,8 @@ class Rank1GatOperator:
             lse = jnp.where(s > 0, m + jnp.log(jnp.maximum(s, 1e-30)), NEG)
             return out, lse, x_ord, a_in
 
-        def bwd_impl_lin(c, a_in, x_ord, gout, out, lse, d_feat):
+        def bwd_impl_lin(c, a_in, x_ord, gout, out, lse, d_feat, seed,
+                         rate):
             d_pad = x_ord.shape[1]
             c_pad = jnp.pad(c.astype(jnp.float32),
                             (0, n_pad - c.shape[0])).reshape(n_pad, 1)
@@ -653,51 +707,51 @@ class Rank1GatOperator:
                             constant_values=NEG).reshape(n_pad, 1)
 
             z, dc, da = pl.pallas_call(
-                functools.partial(_r1l_bwd_kernel, slope=slope),
+                functools.partial(_r1l_bwd_kernel, slope=slope, rate=rate),
                 grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=5,
+                    num_scalar_prefetch=6,
                     grid=(int(dir_.bid.shape[0]),),
                     in_specs=[
                         pl.BlockSpec((1, E_CHUNK),
-                                     lambda k, bid, cs, cf, first, last:
+                                     lambda k, bid, cs, cf, first, last, sd:
                                      (0, cs[k]),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((ROW_BLK, 1),
-                                     lambda k, bid, cs, cf, first, last:
+                                     lambda k, bid, cs, cf, first, last, sd:
                                      (bid[k], 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((8, d_pad),
-                                     lambda k, bid, cs, cf, first, last:
+                                     lambda k, bid, cs, cf, first, last, sd:
                                      (0, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((E_CHUNK, d_pad),
-                                     lambda k, bid, cs, cf, first, last:
+                                     lambda k, bid, cs, cf, first, last, sd:
                                      (cs[k], 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((ROW_BLK, d_pad),
-                                     lambda k, bid, cs, cf, first, last:
+                                     lambda k, bid, cs, cf, first, last, sd:
                                      (bid[k], 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((ROW_BLK, d_pad),
-                                     lambda k, bid, cs, cf, first, last:
+                                     lambda k, bid, cs, cf, first, last, sd:
                                      (bid[k], 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((ROW_BLK, 1),
-                                     lambda k, bid, cs, cf, first, last:
+                                     lambda k, bid, cs, cf, first, last, sd:
                                      (bid[k], 0),
                                      memory_space=pltpu.VMEM),
                     ],
                     out_specs=(
                         pl.BlockSpec((E_CHUNK, d_pad),
-                                     lambda k, bid, cs, cf, first, last:
+                                     lambda k, bid, cs, cf, first, last, sd:
                                      (cs[k], 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((ROW_BLK, 1),
-                                     lambda k, bid, cs, cf, first, last:
+                                     lambda k, bid, cs, cf, first, last, sd:
                                      (bid[k], 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((8, d_pad),
-                                     lambda k, bid, cs, cf, first, last:
+                                     lambda k, bid, cs, cf, first, last, sd:
                                      (0, 0),
                                      memory_space=pltpu.VMEM),
                     ),
@@ -716,30 +770,33 @@ class Rank1GatOperator:
                     transcendentals=2 * dir_.e_ch,
                 ),
                 interpret=interp,
-            )(dir_.bid, dir_.cs, dir_.cfirst, dir_.first, dir_.last,
+            )(dir_.bid, dir_.cs, dir_.cfirst, dir_.first, dir_.last, seed,
               dir_.senders.reshape(1, dir_.e_ch), c_pad, a_in, x_ord,
               gout_p, out_p, lse_p)
             return z, dc, da
 
+        def _reduce_z(z, d_feat):
+            mask = (bwd.perm < jnp.int32(bwd.e_pad)).astype(jnp.float32)
+            zc = jnp.take(z, jnp.minimum(bwd.perm, z.shape[0] - 1),
+                          axis=0)
+            return _visit_reduce_raw(
+                zc, mask, bwd.senders, bwd.bid, bwd.cs, bwd.first,
+                bwd.last, bwd.n_rows, interp
+            )
+
         @jax.custom_vjp
         def apply_lin(c, a, x):
-            return fwd_impl_lin(c, a, x)[0]
+            return fwd_impl_lin(c, a, x, zero_seed, 0.0)[0]
 
         def apply_lin_fwd(c, a, x):
-            out, lse, x_ord, a_in = fwd_impl_lin(c, a, x)
+            out, lse, x_ord, a_in = fwd_impl_lin(c, a, x, zero_seed, 0.0)
             return out, (c, a_in, x_ord, out, lse, x.shape[1])
 
         def apply_lin_bwd(res, gout):
             c, a_in, x_ord, out, lse, d_feat = res
             z, dc, da = bwd_impl_lin(c, a_in, x_ord, gout, out, lse,
-                                     d_feat)
-            mask = (bwd.perm < jnp.int32(bwd.e_pad)).astype(jnp.float32)
-            zc = jnp.take(z, jnp.minimum(bwd.perm, z.shape[0] - 1),
-                          axis=0)
-            red = _visit_reduce_raw(
-                zc, mask, bwd.senders, bwd.bid, bwd.cs, bwd.first,
-                bwd.last, bwd.n_rows, interp
-            )
+                                     d_feat, zero_seed, 0.0)
+            red = _reduce_z(z, d_feat)
             return (dc[: g.n_src, 0], da[0, :d_feat],
                     red[: g.n_dst, :d_feat])
 
@@ -748,17 +805,55 @@ class Rank1GatOperator:
         if dst_linear:
             self._apply = apply_lin
 
+        # ---- dst_linear + in-kernel attention dropout (VERDICT r4 #3:
+        # reference training defaults are dropout 0.5, train.py:28 —
+        # without this the fused kernel never runs in default configs) ----
+        r = float(dropout_rate)
+        if r >= 1.0:
+            raise ValueError(f"dropout_rate must be < 1, got {r}")
+
+        @jax.custom_vjp
+        def apply_lin_drop(c, a, x, seed):
+            return fwd_impl_lin(c, a, x, seed, r)[0]
+
+        def apply_lin_drop_fwd(c, a, x, seed):
+            out, lse, x_ord, a_in = fwd_impl_lin(c, a, x, seed, r)
+            return out, (c, a_in, x_ord, out, lse, x.shape[1], seed)
+
+        def apply_lin_drop_bwd(res, gout):
+            c, a_in, x_ord, out, lse, d_feat, seed = res
+            z, dc, da = bwd_impl_lin(c, a_in, x_ord, gout, out, lse,
+                                     d_feat, seed, r)
+            red = _reduce_z(z, d_feat)
+            return (dc[: g.n_src, 0], da[0, :d_feat],
+                    red[: g.n_dst, :d_feat],
+                    np.zeros((1,), jax.dtypes.float0))
+
+        apply_lin_drop.defvjp(apply_lin_drop_fwd, apply_lin_drop_bwd)
+        self._apply_lin_drop = apply_lin_drop
+        self.dropout_rate = r
+
     @staticmethod
     def build(graph: BipartiteGraph, interpret: Optional[bool] = None,
               spmm: Optional[SpmmOperator] = None,
               negative_slope: float = 0.2, precision: str = "f32",
-              dst_linear: bool = False):
+              dst_linear: bool = False, dropout_rate: float = 0.0):
         return Rank1GatOperator(graph, interpret, spmm,
                                 negative_slope=negative_slope,
                                 precision=precision,
-                                dst_linear=dst_linear)
+                                dst_linear=dst_linear,
+                                dropout_rate=dropout_rate)
 
     def __call__(self, c: Array, t_or_a: Array, x: Array) -> Array:
         """``(c, t, x)`` in the generic mode; ``(c, a, x)`` with
         ``t = x @ a`` when ``dst_linear``."""
         return self._apply(c, t_or_a, x)
+
+    def drop(self, c: Array, a: Array, x: Array, seed: Array) -> Array:
+        """dst_linear forward with in-kernel attention dropout at the
+        constructor's ``dropout_rate`` (inverted, post-softmax — matches
+        ``nn.Dropout`` on the attention weights in distribution).
+        ``seed``: int32 [1]; the keep mask is a pure function of
+        (seed, edge slot), so the recompute backward sees the identical
+        mask.  At ``dropout_rate=0`` this equals ``__call__`` exactly."""
+        return self._apply_lin_drop(c, a, x, seed)

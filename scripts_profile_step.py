@@ -213,6 +213,99 @@ def main():
                   + comp["proj_fwd_grad"] + comp["adam_update"])
     out["kernel_sum_sddmm_path"] = kernel_sum
     out["best_step_vs_kernel_sum"] = min(variants.values()) / kernel_sum
+
+    # ---- r5 (VERDICT r4 #4): attribute the FUSED step's residual ----
+    # Nested composite timings so every layer of the onion is measured,
+    # not modelled: encoder fwd, encoder fwd+grad, whole loss fwd,
+    # value_and_grad without the optimizer, full step — successive
+    # deltas name the tail, the adam, and any remaining scheduling gap.
+    from msha_gnn_tpu.ops.pallas import Rank1GatOperator
+    from msha_gnn_tpu.training.scale import _make_loss
+
+    r1 = Rank1GatOperator.build(g, spmm=op, dst_linear=True)
+    fused = _LoggingDict()
+    ct_scalar = 1.0
+
+    def encoder(params):
+        hh = params["feat"] @ params["W"]
+        c = hh @ params["a"][:D]
+        return jax.nn.elu(r1(c, params["a"][D:], hh)
+                          .astype(jnp.float32)) + hh
+
+    fused["encoder_fwd"] = _timeit_chain(
+        lambda feat: encoder(dict(params0, feat=feat)), params0["feat"])
+    fused["encoder_fwd_grad"] = _timeit_chain(
+        lambda feat: jax.grad(
+            lambda feat: jnp.vdot(encoder(dict(params0, feat=feat)), ct_n)
+        )(feat), params0["feat"])
+    # r1 operator alone (fwd+grad through all three inputs)
+    a_dst0 = params0["a"][D:]
+    c0 = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    fused["r1_fwd"] = _timeit_chain(lambda c: r1(c, a_dst0, h), c0)
+    fused["r1_fwd_grad"] = _timeit_chain(
+        lambda c, a, x_: jax.grad(
+            lambda c, a, x_: jnp.vdot(r1(c, a, x_), ct_n),
+            argnums=(0, 1, 2))(c, a, x_), c0, a_dst0, h)
+
+    loss_fn_f = _make_loss(snd, rcv, N, agg, cfg,
+                           attention_fn=lambda c, a, hh: r1(c, a, hh))
+
+    def batch_loss(params):
+        return loss_fn_f(params, *batch)
+
+    fused["loss_fwd"] = _timeit_chain(
+        lambda feat: batch_loss(dict(params0, feat=feat)), params0["feat"])
+    fused["valgrad_no_update"] = _timeit_chain(
+        lambda feat: jax.value_and_grad(batch_loss)(
+            dict(params0, feat=feat))[0], params0["feat"])
+
+    def full_step(feat):
+        params = dict(params0, feat=feat)
+        l, grads = jax.value_and_grad(batch_loss)(params)
+        upd, _ = tx.update(grads, opt0)
+        return optax.apply_updates(params, upd)["feat"] + l
+
+    fused["step_chained"] = _timeit_chain(full_step, params0["feat"])
+
+    # the bench-style scan step for cross-checking the chained number
+    def loss_full(params, ps, pr, ns, nr):
+        return loss_fn_f(params, ps, pr, ns, nr)
+
+    @jax.jit
+    def run_scan(params, opt, batch):
+        def body(carry, _):
+            params, opt = carry
+            l, grads = jax.value_and_grad(loss_full)(params, *batch)
+            upd, opt = tx.update(grads, opt)
+            return (optax.apply_updates(params, upd), opt), l
+        (params, opt), ls = jax.lax.scan(body, (params, opt), None,
+                                         length=STEPS)
+        return ls[-1]
+
+    opt00 = tx.init(params0)
+    cc = run_scan.lower(params0, opt00, batch).compile()
+    float(cc(params0, opt00, batch))
+    t1 = time.perf_counter()
+    float(cc(params0, opt00, batch))
+    fused["step_scan"] = (time.perf_counter() - t1) / STEPS
+
+    # attribution ladder (all measured):
+    #   tail        = valgrad - encoder_fwd_grad(+ tail's own dz scatter,
+    #                 measured separately as linkscore_fwd_grad)
+    #   adam        = step - valgrad
+    #   encoder gap = encoder_fwd_grad - (r1_fwd_grad + proj_fwd_grad)
+    fused["attr_tail"] = fused["valgrad_no_update"] - fused["encoder_fwd_grad"]
+    fused["attr_adam"] = fused["step_chained"] - fused["valgrad_no_update"]
+    fused["attr_encoder_gap"] = (
+        fused["encoder_fwd_grad"] - fused["r1_fwd_grad"]
+        - comp["proj_fwd_grad"])
+    ladder_sum = (fused["r1_fwd_grad"] + comp["proj_fwd_grad"]
+                  + fused["attr_encoder_gap"] + fused["attr_tail"]
+                  + fused["attr_adam"])
+    fused["ladder_sum"] = ladder_sum
+    fused["ladder_over_step"] = ladder_sum / fused["step_chained"]
+    out["fused_attribution"] = fused
+
     print(json.dumps(out, indent=2))
     with open("STEP_PROFILE.json", "w") as f:
         json.dump(out, f, indent=2)

@@ -137,6 +137,64 @@ def main():
         "ceiling_naive_fraction": wt_naive / wt_floor,
     }
 
+    # ---- r5 (VERDICT r4 #2): weighted-forward PHASE breakdown ----
+    # Measure each phase of the weighted forward in isolation so the
+    # 0.78-of-floor gap has a named owner: (a) the dense-hub compose over
+    # the FULL direction schedule (the r4 layout), (b) the same compose
+    # over the COMPACTED hub schedule + the hub weight permute (the
+    # alternative the r2 comment ruled out on a stale 7 ns/elem estimate),
+    # (c) the cold part alone, (d) the weight takes alone.
+    from msha_gnn_tpu.ops.pallas.spmm import (
+        _direction_apply, _hub_reduce_raw, _hub_visit_reduce, _order_w,
+        _order_w_perm)
+
+    split = op.fwd_split
+    dirf = op.fwd_dir
+    hub = split.hub
+    d_pad = d
+    table = jnp.take(x, hub.hub_ids, axis=0)
+
+    def hub_dense(w):
+        w_dir = _order_w(dirf, w)
+        return _hub_reduce_raw(table, dirf.senders, w_dir,
+                               split.hubpos_dense, dirf.bid, dirf.cs,
+                               dirf.first, split.n_rows, False)
+
+    def hub_compact(w):
+        w_h = _order_w_perm(hub.perm, w)
+        return _hub_visit_reduce(table, hub, False, w=w_h)
+
+    def cold_only(w):
+        w_c = _order_w_perm(split.cold_perm, w)
+        return _direction_apply(split.cold, x, w_c, False)
+
+    def takes_only(w):
+        return (_order_w_perm(hub.perm, w).sum()
+                + _order_w_perm(split.cold_perm, w).sum())
+
+    def weighted_compact_full(w):
+        # candidate layout: compacted hub + cold + output add
+        w_h = _order_w_perm(hub.perm, w)
+        hub_out = _hub_visit_reduce(table, hub, False, w=w_h)[
+            : split.n_rows]
+        return hub_out + cold_only(w)
+
+    ph = {
+        "hub_dense_full_schedule": _timeit_chain(hub_dense, w),
+        "hub_compacted_schedule": _timeit_chain(hub_compact, w),
+        "cold_part": _timeit_chain(cold_only, w),
+        "weight_takes": _timeit_chain(takes_only, w),
+        "weighted_compact_full": _timeit_chain(weighted_compact_full, w),
+        "t_weighted_r4_layout": t_wt,
+        "t_static_same_graph": t_hub,
+        "hub_visits_full": int(np.asarray(dirf.bid).shape[0]),
+        "hub_visits_compact": int(np.asarray(hub.bid).shape[0]),
+    }
+    # phase-sum accounting for the r4 layout
+    ph["phase_sum_r4"] = (ph["hub_dense_full_schedule"] + ph["cold_part"])
+    ph["unattributed_r4"] = t_wt - ph["phase_sum_r4"]
+    out["spmm_weighted_phases"] = ph
+
     json.dump(out, open("ROOFLINE_FLOOR.json", "w"), indent=2)
     print(json.dumps(out, indent=2))
 

@@ -12,6 +12,8 @@ Two topologies (VERDICT r1 item #4):
 
 Usage:
   python scripts_scale_train.py chunked [edges_millions] [steps]
+  python scripts_scale_train.py profile [edges_millions]   # r5: phase
+      breakdown of the chunked training step (VERDICT r4 #5)
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python scripts_scale_train.py distributed [edges_millions] [steps]
 
@@ -35,6 +37,140 @@ def build_edges(n_nodes: int, n_edges: int, seed: int = 0):
     ).astype(np.int32)
     print(f"edge set built in {time.time()-t0:.1f}s", file=sys.stderr)
     return src, dst
+
+
+def profile_chunked(src, dst, n_nodes, cfg):
+    """Phase breakdown of the 50M-edge chunked training step (VERDICT r4
+    #5: 4.5 s/step vs ~0.76 s of in-core kernel time — name the gap).
+
+    Each phase is its own hoisted+jitted program at FULL edge count,
+    timed with a dependency chain; the full hoisted step is timed the
+    same way so phases and step share one methodology."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from msha_gnn_tpu.bench import _timeit_chain
+    from msha_gnn_tpu.ops.chunked import ChunkedSpmm
+    from msha_gnn_tpu.ops.pallas.softmax import SegmentSoftmaxOperator
+    from msha_gnn_tpu.training.scale import (_init_params, _make_loss)
+    from msha_gnn_tpu.utils.hoist import hoist_closure
+
+    t0 = time.time()
+    s = np.ascontiguousarray(src, np.int32)
+    r = np.ascontiguousarray(dst, np.int32)
+    order = np.argsort(s, kind="stable")
+    s, r = s[order], r[order]
+    e = len(s)
+    num_slices = max(1, int(np.ceil(e * cfg.d * 4 / (512 * 2**20))))
+    op = ChunkedSpmm.from_host_coo(s, r, None, n_src=n_nodes,
+                                   n_dst=n_nodes, num_slices=num_slices,
+                                   assume_sorted=True)
+    cnt = np.bincount(s, minlength=n_nodes)
+    row_ptr = np.concatenate([[0], np.cumsum(cnt)])
+    sm = SegmentSoftmaxOperator(s, row_ptr, n_nodes)
+    rcv_dev = jnp.asarray(r)
+    print(f"[profile] layout {time.time()-t0:.0f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(5)
+    d = cfg.d
+    sv = jnp.asarray(rng.standard_normal(n_nodes).astype(np.float32))
+    dv = jnp.asarray(rng.standard_normal(n_nodes).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((n_nodes, d)).astype(np.float32))
+    ct_n = jnp.asarray(rng.standard_normal((n_nodes, d)).astype(np.float32))
+    l_e = jnp.asarray(rng.standard_normal(e).astype(np.float32))
+    ct_e = jnp.asarray(rng.standard_normal(e).astype(np.float32))
+    out = {"edges": e, "n_nodes": n_nodes, "d": d,
+           "num_slices": num_slices}
+
+    def timed(name, fn, *args):
+        conv, consts = hoist_closure(fn, *args)
+        consts = tuple(jnp.asarray(c) for c in consts)
+        jf = jax.jit(conv)
+        t = _timeit_chain(lambda *a: jf(consts, *a), *args)
+        out[name] = t
+        print(f"[profile] {name}: {t*1e3:.0f} ms  "
+              f"t={time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+
+    # 1. rank-1 logits: sorted row-broadcast sender term + [E] scalar
+    #    take of the receiver term (fwd, then fwd+grad)
+    def logits(a, b):
+        return jax.nn.leaky_relu(
+            sm.broadcast_rows(a) + jnp.take(b, rcv_dev), 0.2)
+
+    timed("logits_fwd", logits, sv, dv)
+    timed("logits_fwd_grad",
+          lambda a, b: jax.grad(
+              lambda a, b: jnp.vdot(logits(a, b), ct_e),
+              argnums=(0, 1))(a, b), sv, dv)
+
+    # 2. segment softmax at [E]
+    timed("softmax_fwd", lambda l: sm(l), l_e)
+    timed("softmax_fwd_grad",
+          lambda l: jax.grad(lambda l: jnp.vdot(sm(l), ct_e))(l), l_e)
+
+    # 3. chunked weighted aggregation (fwd, fwd+grad)
+    att = jnp.asarray(rng.random(e).astype(np.float32))
+    timed("chunked_spmm_fwd", lambda hh, a: op.apply(hh, a), h, att)
+    timed("chunked_spmm_fwd_grad",
+          lambda hh, a: jax.grad(
+              lambda hh, a: jnp.vdot(op.apply(hh, a), ct_n),
+              argnums=(0, 1))(hh, a), h, att)
+
+    # 4. tail: link scores + BCE + adam on the feature table
+    params = _init_params(jax.random.key(0), n_nodes, d)
+    tx = optax.adam(cfg.lr)
+    opt0 = tx.init(params)
+    rng_b = np.random.default_rng(11)
+    batch = tuple(jnp.asarray(rng_b.integers(0, n_nodes, cfg.batch_edges)
+                              .astype(np.int32)) for _ in range(4))
+
+    def tail(z):
+        pos = jnp.sum(z[batch[0]] * z[batch[1]], axis=1)
+        neg = jnp.sum(z[batch[2]] * z[batch[3]], axis=1)
+        return (optax.sigmoid_binary_cross_entropy(
+                    pos, jnp.ones_like(pos)).mean()
+                + optax.sigmoid_binary_cross_entropy(
+                    neg, jnp.zeros_like(neg)).mean())
+
+    timed("tail_fwd_grad", lambda z: jax.grad(tail)(z), h)
+
+    def adam_only(feat):
+        p = dict(params, feat=feat)
+        upd, _ = tx.update(jax.tree_util.tree_map(jnp.ones_like, p), opt0)
+        return optax.apply_updates(p, upd)["feat"]
+
+    timed("adam_update", adam_only, params["feat"])
+
+    # 5. the full training step, hoisted exactly as train_chunked builds it
+    loss_fn = _make_loss(jnp.asarray(s), rcv_dev, n_nodes,
+                         lambda hh, a: op.apply(hh, a), cfg, softmax=sm)
+    zi = jnp.zeros(cfg.batch_edges, jnp.int32)
+
+    def step(params, ps, pr, ns, nr):
+        loss, grads = jax.value_and_grad(loss_fn)(params, ps, pr, ns, nr)
+        upd, _ = tx.update(grads, opt0)
+        return optax.apply_updates(params, upd)["feat"] + loss
+
+    conv, consts = hoist_closure(step, params, zi, zi, zi, zi)
+    consts = tuple(jnp.asarray(c) for c in consts)
+    jstep = jax.jit(conv)
+    feat0 = params["feat"]
+
+    def step_on_feat(feat):
+        return jstep(consts, dict(params, feat=feat), zi, zi, zi, zi)
+
+    out["step_full"] = _timeit_chain(step_on_feat, feat0)
+    print(f"[profile] step_full: {out['step_full']*1e3:.0f} ms",
+          file=sys.stderr, flush=True)
+
+    ksum = (out["logits_fwd_grad"] + out["softmax_fwd_grad"]
+            + out["chunked_spmm_fwd_grad"] + out["tail_fwd_grad"]
+            + out["adam_update"])
+    out["component_sum"] = ksum
+    out["step_over_component_sum"] = out["step_full"] / ksum
+    out["edges_per_s_step"] = e / out["step_full"]
+    return out
 
 
 def main():
@@ -63,6 +199,13 @@ def main():
         print(json.dumps(rec), file=sys.stderr, flush=True)
 
     t0 = time.time()
+    if mode == "profile":
+        res = profile_chunked(src, dst, n_nodes, cfg)
+        res.update(mode=mode, wall=round(time.time() - t0, 1))
+        print(json.dumps(res))
+        with open("SCALE_STEP_PROFILE.json", "w") as f:
+            json.dump(res, f, indent=2)
+        return
     if mode == "chunked":
         res = train_chunked(src, dst, n_nodes, cfg, log=log)
     else:
