@@ -395,6 +395,149 @@ def _r1l_bwd_kernel(bid_ref, cs_ref, cfirst_ref, first_ref, last_ref,
         dc_ref[:] = acc_scr[:]
 
 
+def _r1l_fwd_call(bid, cs, first, last, seed, senders, c_pad, a_in, x_ord,
+                  interpret: bool, *, slope: float, lo_pass: bool,
+                  rate: float = 0.0):
+    """Array-level dst_linear forward entry (shared with the sharded
+    partition layer): every schedule piece is an explicit argument so
+    callers can pass per-shard slices inside ``shard_map``.  Shapes:
+    ``senders`` [1, E_ch], ``c_pad`` [n_pad, 1], ``a_in`` [8, d_pad],
+    ``x_ord`` [E_ch, d_pad]; returns ``(outa [n_pad, d_pad],
+    ms [n_pad, 2])`` (running max / sum stats, un-normalised)."""
+    e_ch = int(x_ord.shape[0])
+    d_pad = int(x_ord.shape[1])
+    n_pad = int(c_pad.shape[0])
+    return pl.pallas_call(
+        functools.partial(_r1l_fwd_kernel, slope=slope, lo_pass=lo_pass,
+                          rate=rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(int(bid.shape[0]),),
+            in_specs=[
+                pl.BlockSpec((1, E_CHUNK),
+                             lambda k, bid, cs, first, last, sd:
+                             (0, cs[k]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLK, 1),
+                             lambda k, bid, cs, first, last, sd:
+                             (bid[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, d_pad),
+                             lambda k, bid, cs, first, last, sd:
+                             (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E_CHUNK, d_pad),
+                             lambda k, bid, cs, first, last, sd:
+                             (cs[k], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((ROW_BLK, d_pad),
+                             lambda k, bid, cs, first, last, sd:
+                             (bid[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLK, 2),
+                             lambda k, bid, cs, first, last, sd:
+                             (bid[k], 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((ROW_BLK, 1), jnp.float32),
+                pltpu.VMEM((ROW_BLK, 1), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * e_ch * ROW_BLK * d_pad,
+            bytes_accessed=e_ch * (x_ord.dtype.itemsize * d_pad + 8)
+            + n_pad * d_pad * 4,
+            transcendentals=2 * e_ch,
+        ),
+        interpret=interpret,
+    )(bid, cs, first, last, seed, senders, c_pad, a_in, x_ord)
+
+
+def _r1l_bwd_call(bid, cs, cfirst, first, last, seed, senders, c_pad, a_in,
+                  x_ord, gout_p, out_p, lse_p, interpret: bool, *,
+                  slope: float, rate: float = 0.0):
+    """Array-level dst_linear backward entry; returns ``(z [E_ch, d_pad],
+    dc [n_pad, 1], da [8, d_pad])`` — ``z`` carries the full per-edge dx
+    contribution (aggregation + logit terms) awaiting the caller's
+    transpose visit-reduce."""
+    e_ch = int(x_ord.shape[0])
+    d_pad = int(x_ord.shape[1])
+    n_pad = int(c_pad.shape[0])
+    return pl.pallas_call(
+        functools.partial(_r1l_bwd_kernel, slope=slope, rate=rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(int(bid.shape[0]),),
+            in_specs=[
+                pl.BlockSpec((1, E_CHUNK),
+                             lambda k, bid, cs, cf, first, last, sd:
+                             (0, cs[k]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLK, 1),
+                             lambda k, bid, cs, cf, first, last, sd:
+                             (bid[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, d_pad),
+                             lambda k, bid, cs, cf, first, last, sd:
+                             (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((E_CHUNK, d_pad),
+                             lambda k, bid, cs, cf, first, last, sd:
+                             (cs[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLK, d_pad),
+                             lambda k, bid, cs, cf, first, last, sd:
+                             (bid[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLK, d_pad),
+                             lambda k, bid, cs, cf, first, last, sd:
+                             (bid[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLK, 1),
+                             lambda k, bid, cs, cf, first, last, sd:
+                             (bid[k], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((E_CHUNK, d_pad),
+                             lambda k, bid, cs, cf, first, last, sd:
+                             (cs[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_BLK, 1),
+                             lambda k, bid, cs, cf, first, last, sd:
+                             (bid[k], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, d_pad),
+                             lambda k, bid, cs, cf, first, last, sd:
+                             (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((ROW_BLK, 1), jnp.float32)],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((e_ch, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((8, d_pad), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * e_ch * ROW_BLK * d_pad,
+            bytes_accessed=e_ch * (x_ord.dtype.itemsize * d_pad
+                                   + 4 * d_pad + 8)
+            + 4 * n_pad * d_pad * 4,
+            transcendentals=2 * e_ch,
+        ),
+        interpret=interpret,
+    )(bid, cs, cfirst, first, last, seed, senders, c_pad, a_in, x_ord,
+      gout_p, out_p, lse_p)
+
+
 class Rank1GatOperator:
     """Differentiable fused rank-1 GAT layer bound to one graph.
 
@@ -631,59 +774,10 @@ class Rank1GatOperator:
             c_pad = jnp.pad(c.astype(jnp.float32),
                             (0, n_pad - c.shape[0])).reshape(n_pad, 1)
 
-            outa, ms = pl.pallas_call(
-                functools.partial(_r1l_fwd_kernel, slope=slope,
-                                  lo_pass=prec != "bf16", rate=rate),
-                grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=5,
-                    grid=(int(dir_.bid.shape[0]),),
-                    in_specs=[
-                        pl.BlockSpec((1, E_CHUNK),
-                                     lambda k, bid, cs, first, last, sd:
-                                     (0, cs[k]),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((ROW_BLK, 1),
-                                     lambda k, bid, cs, first, last, sd:
-                                     (bid[k], 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((8, d_pad),
-                                     lambda k, bid, cs, first, last, sd:
-                                     (0, 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((E_CHUNK, d_pad),
-                                     lambda k, bid, cs, first, last, sd:
-                                     (cs[k], 0),
-                                     memory_space=pltpu.VMEM),
-                    ],
-                    out_specs=(
-                        pl.BlockSpec((ROW_BLK, d_pad),
-                                     lambda k, bid, cs, first, last, sd:
-                                     (bid[k], 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((ROW_BLK, 2),
-                                     lambda k, bid, cs, first, last, sd:
-                                     (bid[k], 0),
-                                     memory_space=pltpu.VMEM),
-                    ),
-                    scratch_shapes=[
-                        pltpu.VMEM((ROW_BLK, 1), jnp.float32),
-                        pltpu.VMEM((ROW_BLK, 1), jnp.float32),
-                    ],
-                ),
-                out_shape=(
-                    jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
-                    jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
-                ),
-                cost_estimate=pl.CostEstimate(
-                    flops=4 * dir_.e_ch * ROW_BLK * d_pad,
-                    bytes_accessed=dir_.e_ch * (x_ord.dtype.itemsize
-                                                * d_pad + 8)
-                    + n_pad * d_pad * 4,
-                    transcendentals=2 * dir_.e_ch,
-                ),
-                interpret=interp,
-            )(dir_.bid, dir_.cs, dir_.first, dir_.last, seed,
-              dir_.senders.reshape(1, dir_.e_ch), c_pad, a_in, x_ord)
+            outa, ms = _r1l_fwd_call(
+                dir_.bid, dir_.cs, dir_.first, dir_.last, seed,
+                dir_.senders.reshape(1, dir_.e_ch), c_pad, a_in, x_ord,
+                interp, slope=slope, lo_pass=prec != "bf16", rate=rate)
 
             m = ms[: g.n_src, 0]
             s = ms[: g.n_src, 1]
@@ -706,73 +800,11 @@ class Rank1GatOperator:
             lse_p = jnp.pad(lse, (0, n_pad - lse.shape[0]),
                             constant_values=NEG).reshape(n_pad, 1)
 
-            z, dc, da = pl.pallas_call(
-                functools.partial(_r1l_bwd_kernel, slope=slope, rate=rate),
-                grid_spec=pltpu.PrefetchScalarGridSpec(
-                    num_scalar_prefetch=6,
-                    grid=(int(dir_.bid.shape[0]),),
-                    in_specs=[
-                        pl.BlockSpec((1, E_CHUNK),
-                                     lambda k, bid, cs, cf, first, last, sd:
-                                     (0, cs[k]),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((ROW_BLK, 1),
-                                     lambda k, bid, cs, cf, first, last, sd:
-                                     (bid[k], 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((8, d_pad),
-                                     lambda k, bid, cs, cf, first, last, sd:
-                                     (0, 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((E_CHUNK, d_pad),
-                                     lambda k, bid, cs, cf, first, last, sd:
-                                     (cs[k], 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((ROW_BLK, d_pad),
-                                     lambda k, bid, cs, cf, first, last, sd:
-                                     (bid[k], 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((ROW_BLK, d_pad),
-                                     lambda k, bid, cs, cf, first, last, sd:
-                                     (bid[k], 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((ROW_BLK, 1),
-                                     lambda k, bid, cs, cf, first, last, sd:
-                                     (bid[k], 0),
-                                     memory_space=pltpu.VMEM),
-                    ],
-                    out_specs=(
-                        pl.BlockSpec((E_CHUNK, d_pad),
-                                     lambda k, bid, cs, cf, first, last, sd:
-                                     (cs[k], 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((ROW_BLK, 1),
-                                     lambda k, bid, cs, cf, first, last, sd:
-                                     (bid[k], 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((8, d_pad),
-                                     lambda k, bid, cs, cf, first, last, sd:
-                                     (0, 0),
-                                     memory_space=pltpu.VMEM),
-                    ),
-                    scratch_shapes=[pltpu.VMEM((ROW_BLK, 1), jnp.float32)],
-                ),
-                out_shape=(
-                    jax.ShapeDtypeStruct((dir_.e_ch, d_pad), jnp.float32),
-                    jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-                    jax.ShapeDtypeStruct((8, d_pad), jnp.float32),
-                ),
-                cost_estimate=pl.CostEstimate(
-                    flops=8 * dir_.e_ch * ROW_BLK * d_pad,
-                    bytes_accessed=dir_.e_ch * (x_ord.dtype.itemsize
-                                                * d_pad + 4 * d_pad + 8)
-                    + 4 * n_pad * d_pad * 4,
-                    transcendentals=2 * dir_.e_ch,
-                ),
-                interpret=interp,
-            )(dir_.bid, dir_.cs, dir_.cfirst, dir_.first, dir_.last, seed,
-              dir_.senders.reshape(1, dir_.e_ch), c_pad, a_in, x_ord,
-              gout_p, out_p, lse_p)
+            z, dc, da = _r1l_bwd_call(
+                dir_.bid, dir_.cs, dir_.cfirst, dir_.first, dir_.last,
+                seed, dir_.senders.reshape(1, dir_.e_ch), c_pad, a_in,
+                x_ord, gout_p, out_p, lse_p, interp, slope=slope,
+                rate=rate)
             return z, dc, da
 
         def _reduce_z(z, d_feat):

@@ -7,6 +7,7 @@ from .mesh import (
 )
 from .dist_spmm import DistributedSpmm, RingSpmm
 from .pallas_spmm import ShardedPallasSpmm
+from .rank1_dist import ShardedRank1Gat
 from .partition import balanced_edge_partition, partition_edges_by_src
 from .sharded import (
     make_sharded_linkpred_step,
@@ -24,6 +25,7 @@ __all__ = [
     "DistributedSpmm",
     "RingSpmm",
     "ShardedPallasSpmm",
+    "ShardedRank1Gat",
     "partition_edges_by_src",
     "balanced_edge_partition",
     "state_shardings",

@@ -154,31 +154,43 @@ def main():
     d_pad = d
     table = jnp.take(x, hub.hub_ids, axis=0)
 
+    # Probe hygiene: the chained timer perturbs w, making it a COMPUTED
+    # operand — and a take from a computed operand fuses+scalarises
+    # (~250x; ops/pallas/spmm._order_w).  Production attention weights
+    # are kernel outputs (materialised buffers), so every probe first
+    # rematerialises w behind an optimization_barrier; a barrier-free
+    # end-to-end row quantifies the artifact itself.
+    bar = jax.lax.optimization_barrier
+
     def hub_dense(w):
-        w_dir = _order_w(dirf, w)
+        w_dir = _order_w(dirf, bar(w))
         return _hub_reduce_raw(table, dirf.senders, w_dir,
                                split.hubpos_dense, dirf.bid, dirf.cs,
                                dirf.first, split.n_rows, False)
 
     def hub_compact(w):
-        w_h = _order_w_perm(hub.perm, w)
+        w_h = _order_w_perm(hub.perm, bar(w))
         return _hub_visit_reduce(table, hub, False, w=w_h)
 
     def cold_only(w):
-        w_c = _order_w_perm(split.cold_perm, w)
+        w_c = _order_w_perm(split.cold_perm, bar(w))
         return _direction_apply(split.cold, x, w_c, False)
 
     def takes_only(w):
+        w = bar(w)
         return (_order_w_perm(hub.perm, w).sum()
                 + _order_w_perm(split.cold_perm, w).sum())
 
     def weighted_compact_full(w):
         # candidate layout: compacted hub + cold + output add
+        w = bar(w)
         w_h = _order_w_perm(hub.perm, w)
         hub_out = _hub_visit_reduce(table, hub, False, w=w_h)[
             : split.n_rows]
-        return hub_out + cold_only(w)
+        w_c = _order_w_perm(split.cold_perm, w)
+        return hub_out + _direction_apply(split.cold, x, w_c, False)
 
+    t_wt_bar = _timeit_chain(lambda w: op(x, edge_weight=bar(w)), w)
     ph = {
         "hub_dense_full_schedule": _timeit_chain(hub_dense, w),
         "hub_compacted_schedule": _timeit_chain(hub_compact, w),
@@ -186,14 +198,17 @@ def main():
         "weight_takes": _timeit_chain(takes_only, w),
         "weighted_compact_full": _timeit_chain(weighted_compact_full, w),
         "t_weighted_r4_layout": t_wt,
+        "t_weighted_barrier": t_wt_bar,
+        "chain_probe_artifact": t_wt - t_wt_bar,
         "t_static_same_graph": t_hub,
         "hub_visits_full": int(np.asarray(dirf.bid).shape[0]),
         "hub_visits_compact": int(np.asarray(hub.bid).shape[0]),
     }
-    # phase-sum accounting for the r4 layout
+    # phase-sum accounting for the r4 layout (barrier rows)
     ph["phase_sum_r4"] = (ph["hub_dense_full_schedule"] + ph["cold_part"])
-    ph["unattributed_r4"] = t_wt - ph["phase_sum_r4"]
+    ph["overlap_recovered"] = ph["phase_sum_r4"] - t_wt_bar
     out["spmm_weighted_phases"] = ph
+    out["spmm_weighted"]["of_floor_barrier"] = wt_floor / t_wt_bar
 
     json.dump(out, open("ROOFLINE_FLOOR.json", "w"), indent=2)
     print(json.dumps(out, indent=2))
