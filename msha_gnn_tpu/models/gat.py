@@ -202,20 +202,28 @@ class SparseGATLayer(nn.Module):
         from ..ops.sparse import sddmm
 
         logits = sddmm(graph, s_src, s_dst, negative_slope=self.negative_slope)
-        if impl == "flash" and not (train and self.dropout > 0):
-            # fused softmax+aggregate (no attention-weight materialisation);
-            # attention dropout needs explicit weights, so training with
-            # dropout falls back to the separate path below
+        if impl == "flash":
+            # fused softmax+aggregate (no attention-weight
+            # materialisation); attention dropout runs IN-KERNEL (r5) —
+            # the keep mask is hashed from (seed, edge slot) in both the
+            # forward and the recompute backward
             from ..ops.pallas.flash_gat import FlashGATOperator
 
-            key = id(graph.senders)
+            rate = float(self.dropout) if (train and self.dropout > 0) \
+                else 0.0
+            key = (id(graph.senders), rate)
             cache = _flash_cache
             op = cache.pop(key, None)  # pop+reinsert: LRU on hit
             if op is None or op.graph.senders is not graph.senders:
-                op = FlashGATOperator.build(graph)
+                op = FlashGATOperator.build(graph, dropout_rate=rate)
             cache[key] = op
             if len(cache) > 8:
                 cache.pop(next(iter(cache)))
+            if rate > 0:
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(self.make_rng("dropout"), (1,),
+                                    jnp.uint32), jnp.int32)
+                return elu(op.drop(logits, h_dst, seed))
             return elu(op(logits, h_dst))
         spmm_impl = "pallas" if impl in ("flash", "fused") else impl
         att = edge_softmax(graph, logits, impl=spmm_impl)

@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...graph import BipartiteGraph
+from .rank1_gat import _keep_scale
 from .spmm import (
     E_CHUNK,
     LANE,
@@ -47,8 +48,9 @@ Array = jax.Array
 NEG = -1e30
 
 
-def _flash_kernel(bid_ref, cs_ref, first_ref, last_ref, send_ref, logit_ref,
-                  x_ref, outa_ref, ms_ref, m_scr, s_scr):
+def _flash_kernel(bid_ref, cs_ref, first_ref, last_ref, sd_ref, send_ref,
+                  logit_ref, x_ref, outa_ref, ms_ref, m_scr, s_scr, *,
+                  rate=0.0):
     k = pl.program_id(0)
     row0 = bid_ref[k] * ROW_BLK
 
@@ -80,8 +82,14 @@ def _flash_kernel(bid_ref, cs_ref, first_ref, last_ref, send_ref, logit_ref,
 
     # fold p into the one-hot (weighted one-hot, hi/lo split on both
     # operands, lo*lo dropped) — the MXU applies the attention weights,
-    # saving the [E_CHUNK, d] VPU multiply the old p*x formulation paid
-    oh = jnp.where(onehot_b, p, 0.0)                         # [ROW_BLK, E_CHUNK]
+    # saving the [E_CHUNK, d] VPU multiply the old p*x formulation paid.
+    # Dropout (rate > 0): mask only the aggregation weights, never the
+    # softmax stats (reference semantics — dropout after normalisation,
+    # GAT.py:32-34); the keep mask is hashed from (seed, edge slot) so
+    # the recompute backward regenerates it exactly.
+    p_agg = (p * _keep_scale(cs_ref, k, E_CHUNK, sd_ref, rate)
+             if rate > 0.0 else p)
+    oh = jnp.where(onehot_b, p_agg, 0.0)                     # [ROW_BLK, E_CHUNK]
     oh_hi = oh.astype(jnp.bfloat16)
     oh_lo = (oh - oh_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     x = x_ref[:]
@@ -101,32 +109,39 @@ def _flash_kernel(bid_ref, cs_ref, first_ref, last_ref, send_ref, logit_ref,
         )  # [ROW_BLK, 2]
 
 
-def _flash_visits(dir_, logits_ord, x_ord, interpret):
+def _flash_visits(dir_, logits_ord, x_ord, interpret, seed=None,
+                  rate=0.0):
+    import functools
+
     e_ch, d_pad = x_ord.shape
     n_pad = _round_up(max(dir_.n_rows, ROW_BLK), ROW_BLK)
+    if seed is None:
+        seed = np.zeros((1,), np.int32)
 
     outa, ms = pl.pallas_call(
-        _flash_kernel,
+        functools.partial(_flash_kernel, rate=rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(int(dir_.bid.shape[0]),),
             in_specs=[
                 pl.BlockSpec((1, E_CHUNK),
-                             lambda k, bid, cs, first, last: (0, cs[k]),
+                             lambda k, bid, cs, first, last, sd: (0, cs[k]),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, E_CHUNK),
-                             lambda k, bid, cs, first, last: (0, cs[k]),
+                             lambda k, bid, cs, first, last, sd: (0, cs[k]),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((E_CHUNK, d_pad),
-                             lambda k, bid, cs, first, last: (cs[k], 0),
+                             lambda k, bid, cs, first, last, sd: (cs[k], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((ROW_BLK, d_pad),
-                             lambda k, bid, cs, first, last: (bid[k], 0),
+                             lambda k, bid, cs, first, last, sd:
+                             (bid[k], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((ROW_BLK, 2),
-                             lambda k, bid, cs, first, last: (bid[k], 0),
+                             lambda k, bid, cs, first, last, sd:
+                             (bid[k], 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
@@ -144,13 +159,14 @@ def _flash_visits(dir_, logits_ord, x_ord, interpret):
             transcendentals=e_ch,
         ),
         interpret=interpret,
-    )(dir_.bid, dir_.cs, dir_.first, dir_.last,
+    )(dir_.bid, dir_.cs, dir_.first, dir_.last, seed,
       dir_.senders.reshape(1, e_ch), logits_ord.reshape(1, e_ch), x_ord)
     return outa, ms
 
 
-def _flash_bwd_kernel(bid_ref, cs_ref, cfirst_ref, send_ref, logit_ref,
-                      xg_ref, gout_ref, out_ref, lse_ref, dl_ref, z_ref):
+def _flash_bwd_kernel(bid_ref, cs_ref, cfirst_ref, sd_ref, send_ref,
+                      logit_ref, xg_ref, gout_ref, out_ref, lse_ref,
+                      dl_ref, z_ref, *, rate=0.0):
     """Fused flash-GAT backward pass over one chunk visit.
 
     Recomputes ``att_e = exp(l_e - lse[row_e])`` with the row-side terms
@@ -180,8 +196,20 @@ def _flash_bwd_kernel(bid_ref, cs_ref, cfirst_ref, send_ref, logit_ref,
     lse_sel = jnp.sum(jnp.where(onehot_b, lse_col, 0.0), axis=0,
                       keepdims=True)                            # [1, E]
     l = logit_ref[:]
-    att = jnp.where(valid,
-                    jnp.exp(jnp.where(valid, l - lse_sel, 0.0)), 0.0)
+    # `valid` alone is not enough (the rank1_gat r4 lesson, applied here
+    # in r5): graph-level pad edges carry sender == n_src, a REAL row of
+    # the last block when n_src is not a ROW_BLK multiple, and that
+    # row's lse is the NEG pad -> exp overflows to inf and 0-cotangent
+    # products turn dl/z into NaN at pad slots.  A real row's lse is
+    # always > NEG/2, so gate on it.
+    live = valid & (lse_sel > NEG * 0.5)
+    att = jnp.where(live,
+                    jnp.exp(jnp.where(live, l - lse_sel, 0.0)), 0.0)
+    # dropout: q = keep/(1-rate) * att rides z (hence dx and the <g,x>
+    # term); the shift term keeps the undropped att (the denominator
+    # never saw the mask) — same VJP as rank1_gat's dropout backward
+    q = (att * _keep_scale(cs_ref, k, E_CHUNK, sd_ref, rate)
+         if rate > 0.0 else att)
 
     # gathered gout rows per edge: transposed one-hot on the MXU (hi/lo)
     local_c = send_ref[:].reshape(E_CHUNK, 1) - row0
@@ -193,7 +221,7 @@ def _flash_bwd_kernel(bid_ref, cs_ref, cfirst_ref, send_ref, logit_ref,
     gathered_g = jnp.dot(onehot_t, g_hi, preferred_element_type=jnp.float32)
     gathered_g += jnp.dot(onehot_t, g_lo, preferred_element_type=jnp.float32)
 
-    z = att.reshape(E_CHUNK, 1) * gathered_g                    # [E, d]
+    z = q.reshape(E_CHUNK, 1) * gathered_g                      # [E, d]
     z_ref[:] += z
 
     # att * <gout[row], x[col]> == <z, x>  (att already folded into z)
@@ -205,8 +233,12 @@ def _flash_bwd_kernel(bid_ref, cs_ref, cfirst_ref, send_ref, logit_ref,
     dl_ref[:] += dl.reshape(dl_ref.shape)
 
 
-def _flash_bwd_visits(dir_, logits_ord, x, gout, out, lse, interpret):
+def _flash_bwd_visits(dir_, logits_ord, x, gout, out, lse, interpret,
+                      seed=None, rate=0.0):
     """Returns (dlogits [e_pad] CSR order, z [E_ch, d_pad] CSR order)."""
+    import functools
+    if seed is None:
+        seed = np.zeros((1,), np.int32)
     d_feat = x.shape[1]
     d_pad = _round_up(d_feat, LANE)
     n_pad = _round_up(max(dir_.n_rows, ROW_BLK), ROW_BLK)
@@ -222,36 +254,36 @@ def _flash_bwd_visits(dir_, logits_ord, x, gout, out, lse, interpret):
     e_ch = dir_.e_ch
 
     dl, z = pl.pallas_call(
-        _flash_bwd_kernel,
+        functools.partial(_flash_bwd_kernel, rate=rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(int(dir_.bid.shape[0]),),
             in_specs=[
                 pl.BlockSpec((1, E_CHUNK),
-                             lambda k, bid, cs, cf: (0, cs[k]),
+                             lambda k, bid, cs, cf, sd: (0, cs[k]),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, E_CHUNK),
-                             lambda k, bid, cs, cf: (0, cs[k]),
+                             lambda k, bid, cs, cf, sd: (0, cs[k]),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((E_CHUNK, d_pad),
-                             lambda k, bid, cs, cf: (cs[k], 0),
+                             lambda k, bid, cs, cf, sd: (cs[k], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((ROW_BLK, d_pad),
-                             lambda k, bid, cs, cf: (bid[k], 0),
+                             lambda k, bid, cs, cf, sd: (bid[k], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((ROW_BLK, d_pad),
-                             lambda k, bid, cs, cf: (bid[k], 0),
+                             lambda k, bid, cs, cf, sd: (bid[k], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((ROW_BLK, 1),
-                             lambda k, bid, cs, cf: (bid[k], 0),
+                             lambda k, bid, cs, cf, sd: (bid[k], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((E_CHUNK // LANE, LANE),
-                             lambda k, bid, cs, cf: (cs[k], 0),
+                             lambda k, bid, cs, cf, sd: (cs[k], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((E_CHUNK, d_pad),
-                             lambda k, bid, cs, cf: (cs[k], 0),
+                             lambda k, bid, cs, cf, sd: (cs[k], 0),
                              memory_space=pltpu.VMEM),
             ),
         ),
@@ -265,7 +297,8 @@ def _flash_bwd_visits(dir_, logits_ord, x, gout, out, lse, interpret):
             transcendentals=e_ch,
         ),
         interpret=interpret,
-    )(dir_.bid, dir_.cs, dir_.cfirst, dir_.senders.reshape(1, e_ch),
+    )(dir_.bid, dir_.cs, dir_.cfirst, seed,
+      dir_.senders.reshape(1, e_ch),
       logits_ord.reshape(1, e_ch), xg, gout_p, out_p, lse_p)
     return dl.reshape(e_ch)[: dir_.e_pad], z
 
@@ -281,7 +314,8 @@ class FlashGATOperator:
 
     def __init__(self, graph: BipartiteGraph,
                  interpret: Optional[bool] = None,
-                 spmm: Optional[SpmmOperator] = None):
+                 spmm: Optional[SpmmOperator] = None,
+                 dropout_rate: float = 0.0):
         self.graph = graph
         self.spmm = spmm if spmm is not None else SpmmOperator(graph, interpret)
         self.interpret = self.spmm.interpret
@@ -289,8 +323,12 @@ class FlashGATOperator:
         g = graph
         interp = self.interpret
         spmm_op = self.spmm
+        r = float(dropout_rate)
+        if r >= 1.0:
+            raise ValueError(f"dropout_rate must be < 1, got {r}")
+        self.dropout_rate = r
 
-        def fwd_impl(logits, x):
+        def fwd_impl(logits, x, seed=None, rate=0.0):
             d_feat = x.shape[1]
             d_pad = _round_up(d_feat, LANE)
             # the schedule works on the raw CSR edge order, so runtime
@@ -302,7 +340,8 @@ class FlashGATOperator:
             x_ord = jnp.take(x, dir_.recv_clamped, axis=0)
             if d_pad != d_feat:
                 x_ord = jnp.pad(x_ord, ((0, 0), (0, d_pad - d_feat)))
-            outa, ms = _flash_visits(dir_, logits_ord, x_ord, interp)
+            outa, ms = _flash_visits(dir_, logits_ord, x_ord, interp,
+                                     seed=seed, rate=rate)
             m = ms[: g.n_src, 0]
             s = ms[: g.n_src, 1]
             out = outa[: g.n_src, :d_feat] / jnp.maximum(s, 1e-30)[:, None]
@@ -343,13 +382,51 @@ class FlashGATOperator:
         apply_fn.defvjp(apply_fwd, apply_bwd)
         self._apply = apply_fn
 
+        # ---- in-kernel attention dropout (VERDICT r4 #3, flash side) ----
+        def _dx_of(z, x):
+            bwd = spmm_op.bwd_dir
+            mask = (bwd.perm < jnp.int32(bwd.e_pad)).astype(jnp.float32)
+            zc = jnp.take(z, jnp.minimum(bwd.perm, z.shape[0] - 1), axis=0)
+            return _visit_reduce_raw(
+                zc, mask, bwd.senders, bwd.bid, bwd.cs, bwd.first,
+                bwd.last, bwd.n_rows, interp
+            )[:, : x.shape[1]]
+
+        @jax.custom_vjp
+        def apply_drop(logits, x, seed):
+            return fwd_impl(logits, x, seed, r)[0]
+
+        def apply_drop_fwd(logits, x, seed):
+            out, lse = fwd_impl(logits, x, seed, r)
+            return out, (logits, x, out, lse, seed)
+
+        def apply_drop_bwd(res, gout):
+            logits, x, out, lse, seed = res
+            dl, z = _flash_bwd_visits(
+                dir_, _order_w(dir_, logits), x, gout, out, lse, interp,
+                seed=seed, rate=r
+            )
+            return dl, _dx_of(z, x), np.zeros((1,), jax.dtypes.float0)
+
+        apply_drop.defvjp(apply_drop_fwd, apply_drop_bwd)
+        self._apply_drop = apply_drop
+
     @staticmethod
     def build(graph: BipartiteGraph, interpret: Optional[bool] = None,
-              spmm: Optional[SpmmOperator] = None):
-        return FlashGATOperator(graph, interpret, spmm)
+              spmm: Optional[SpmmOperator] = None,
+              dropout_rate: float = 0.0):
+        return FlashGATOperator(graph, interpret, spmm,
+                                dropout_rate=dropout_rate)
 
     def __call__(self, logits: Array, x: Array) -> Array:
         return self._apply(logits, x)
+
+    def drop(self, logits: Array, x: Array, seed: Array) -> Array:
+        """Forward with in-kernel attention dropout at the constructor's
+        ``dropout_rate`` (inverted, post-softmax; keep mask hashed from
+        (seed, edge slot) — identical in the recompute backward).  At
+        rate 0 this equals ``__call__`` exactly."""
+        return self._apply_drop(logits, x, seed)
 
 
 def flash_gat_aggregate(graph: BipartiteGraph, logits: Array, x: Array,

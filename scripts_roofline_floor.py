@@ -38,6 +38,9 @@ def main():
 
     from msha_gnn_tpu.bench import (_timeit_chain, device_peaks,
                                     make_powerlaw_graph)
+    from msha_gnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from msha_gnn_tpu.graph import BipartiteGraph
     from msha_gnn_tpu.ops import sddmm_dot, spmm
     from msha_gnn_tpu.ops.pallas import SpmmOperator
@@ -126,8 +129,11 @@ def main():
     }
 
     # ---- weighted (runtime attention) forward ----
+    # perturb x (not w): with w as the chained arg, x is loop-invariant
+    # and XLA hoists the cold gather + hub table gather out of the
+    # timing loop — bench.py's formulation, kept consistent here
     w = jnp.asarray(rng.random(e_pad), jnp.float32)
-    t_wt = _timeit_chain(lambda w: op(x, edge_weight=w), w)
+    t_wt = _timeit_chain(lambda x: op(x, edge_weight=w), x)
     wt_naive = (phase + e_pad * 4) / bw
     wt_floor = floor + e_pad * 4 / bw   # + one [E] weight stream
     out["spmm_weighted"] = {
@@ -172,9 +178,10 @@ def main():
         w_h = _order_w_perm(hub.perm, bar(w))
         return _hub_visit_reduce(table, hub, False, w=w_h)
 
-    def cold_only(w):
-        w_c = _order_w_perm(split.cold_perm, bar(w))
-        return _direction_apply(split.cold, x, w_c, False)
+    w_c_pre = jax.block_until_ready(_order_w_perm(split.cold_perm, w))
+
+    def cold_only(x_):
+        return _direction_apply(split.cold, x_, w_c_pre, False)
 
     def takes_only(w):
         w = bar(w)
@@ -190,11 +197,26 @@ def main():
         w_c = _order_w_perm(split.cold_perm, w)
         return hub_out + _direction_apply(split.cold, x, w_c, False)
 
-    t_wt_bar = _timeit_chain(lambda w: op(x, edge_weight=bar(w)), w)
+    # cold KERNEL alone (pre-gathered rows): the MXU-serial part of the
+    # cold pass that CANNOT hide under the hub compose on a single core —
+    # the corrected floor's third term
+    from msha_gnn_tpu.ops.pallas.spmm import _visit_reduce_raw
+    cold = split.cold
+    x_cold_ord = jax.block_until_ready(
+        jnp.take(x, cold.recv_clamped, axis=0))
+
+    def cold_kernel_only(v):
+        return _visit_reduce_raw(v, cold.w_static, cold.senders, cold.bid,
+                                 cold.cs, cold.first, cold.last,
+                                 cold.n_rows, False)
+
+    t_cold_kernel = _timeit_chain(cold_kernel_only, x_cold_ord)
+
+    t_wt_bar = _timeit_chain(lambda x: op(x, edge_weight=bar(w)), x)
     ph = {
         "hub_dense_full_schedule": _timeit_chain(hub_dense, w),
         "hub_compacted_schedule": _timeit_chain(hub_compact, w),
-        "cold_part": _timeit_chain(cold_only, w),
+        "cold_part": _timeit_chain(cold_only, x),
         "weight_takes": _timeit_chain(takes_only, w),
         "weighted_compact_full": _timeit_chain(weighted_compact_full, w),
         "t_weighted_r4_layout": t_wt,
@@ -207,8 +229,20 @@ def main():
     # phase-sum accounting for the r4 layout (barrier rows)
     ph["phase_sum_r4"] = (ph["hub_dense_full_schedule"] + ph["cold_part"])
     ph["overlap_recovered"] = ph["phase_sum_r4"] - t_wt_bar
+    ph["cold_kernel_only"] = t_cold_kernel
     out["spmm_weighted_phases"] = ph
     out["spmm_weighted"]["of_floor_barrier"] = wt_floor / t_wt_bar
+    # corrected floor (r5, VERDICT r4 #2): the r4 floor assumed the cold
+    # pass costs only its gather + (E_cold, d) round trip — but its
+    # visit-kernel MXU passes are SERIAL with the hub compose on the one
+    # TPU core.  Corrected floor = measured dense-hub compose (compute-
+    # bound: f32 == bf16, r4) + measured cold kernel + the unhidable cold
+    # gather + round trip.  Both terms are direct measurements of this
+    # design's irreducible parts, not models.
+    wt_floor2 = (ph["hub_dense_full_schedule"] + t_cold_kernel
+                 + t_cold_gather + t_cold_roundtrip)
+    out["spmm_weighted"]["t_floor_corrected"] = wt_floor2
+    out["spmm_weighted"]["of_floor_corrected"] = wt_floor2 / t_wt_bar
 
     json.dump(out, open("ROOFLINE_FLOOR.json", "w"), indent=2)
     print(json.dumps(out, indent=2))

@@ -153,6 +153,68 @@ def test_drop_keep_fraction_matches_rate():
     assert (a != b).mean() > 0.3
 
 
+def test_flash_drop_matches_host_mask_oracle(rng):
+    """Flash-GAT in-kernel dropout: same hash, same semantics — values
+    and (dlogits, dx) grads vs the explicit-mask dense reference."""
+    from msha_gnn_tpu.ops.pallas.flash_gat import FlashGATOperator
+
+    g, _ = make_random_bipartite(rng, 200, 90, density=0.06)
+    d = 8
+    rate = 0.5
+    op = FlashGATOperator.build(g, interpret=True, dropout_rate=rate)
+    logits = jnp.asarray(
+        rng.standard_normal(g.num_padded_edges).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((90, d)).astype(np.float32))
+    seed = 4242
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    ks = jnp.asarray(host_keep_scale(
+        np.arange(g.num_padded_edges), seed, rate))
+
+    def ref(logits, x):
+        att = edge_softmax(g, logits)
+        return spmm(g, x, edge_weight=att * ks)
+
+    got = np.asarray(op.drop(logits, x, seed_arr))
+    want = np.asarray(ref(logits, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    ct = jnp.asarray(rng.standard_normal((200, d)).astype(np.float32))
+    gp = jax.grad(lambda l, x: jnp.vdot(op.drop(l, x, seed_arr), ct),
+                  argnums=(0, 1))(logits, x)
+    gx = jax.grad(lambda l, x: jnp.vdot(ref(l, x), ct),
+                  argnums=(0, 1))(logits, x)
+    for name, p_, r_ in zip(("dlogits", "dx"), gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(p_), np.asarray(r_), rtol=2e-3, atol=1e-3,
+            err_msg=f"{name} mismatch")
+    # rate-0 exact identity
+    op0 = FlashGATOperator.build(g, interpret=True, dropout_rate=0.0)
+    np.testing.assert_array_equal(
+        np.asarray(op0.drop(logits, x, seed_arr)),
+        np.asarray(op0(logits, x)))
+
+
+def test_sparse_gat_layer_flash_trains_with_dropout(rng):
+    from msha_gnn_tpu.models.gat import SparseGATLayer
+
+    g, _ = make_random_bipartite(rng, 80, 80, density=0.08)
+    x = jnp.asarray(rng.standard_normal((80, 8)).astype(np.float32))
+    layer = SparseGATLayer(8, 8, dropout=0.5)
+    v = layer.init(jax.random.key(0), g, x, x, train=False)
+
+    def loss(v, key):
+        out = layer.apply(v, g, x, x, train=True, impl="flash",
+                          rngs={"dropout": key})
+        return (out ** 2).sum()
+
+    l1 = float(loss(v, jax.random.key(1)))
+    l2 = float(loss(v, jax.random.key(2)))
+    assert np.isfinite(l1) and np.isfinite(l2) and l1 != l2
+    grads = jax.grad(loss)(v, jax.random.key(3))
+    assert all(np.isfinite(np.asarray(p)).all()
+               for p in jax.tree_util.tree_leaves(grads))
+
+
 def test_sparse_gat_layer_fused_trains_with_dropout(rng):
     """The r4 fallback is gone: impl='fused' with train=True and
     dropout>0 must run the fused kernel (finite loss/grads, stochastic
