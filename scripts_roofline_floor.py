@@ -232,17 +232,21 @@ def main():
     ph["cold_kernel_only"] = t_cold_kernel
     out["spmm_weighted_phases"] = ph
     out["spmm_weighted"]["of_floor_barrier"] = wt_floor / t_wt_bar
-    # corrected floor (r5, VERDICT r4 #2): the r4 floor assumed the cold
-    # pass costs only its gather + (E_cold, d) round trip — but its
-    # visit-kernel MXU passes are SERIAL with the hub compose on the one
-    # TPU core.  Corrected floor = measured dense-hub compose (compute-
-    # bound: f32 == bf16, r4) + measured cold kernel + the unhidable cold
-    # gather + round trip.  Both terms are direct measurements of this
-    # design's irreducible parts, not models.
-    wt_floor2 = (ph["hub_dense_full_schedule"] + t_cold_kernel
-                 + t_cold_gather + t_cold_roundtrip)
-    out["spmm_weighted"]["t_floor_corrected"] = wt_floor2
-    out["spmm_weighted"]["of_floor_corrected"] = wt_floor2 / t_wt_bar
+    # Two-sided accounting (r5, VERDICT r4 #2).  The r4 floor assumed
+    # the cold pass costs only its gather + (E_cold, d) round trip (its
+    # MXU/visit work fully hidden — optimistic: measured unreachable);
+    # the fully-serial sum of the measured phases is the opposite bound
+    # (pessimistic: the composed program BEATS it via overlap).  The
+    # measurement lies between the two; `overlap_efficiency` says how
+    # much of the maximum possible overlap the composition achieves.
+    t_serial = (ph["hub_dense_full_schedule"] + t_cold_kernel
+                + t_cold_gather + t_cold_roundtrip)
+    sw = out["spmm_weighted"]
+    sw["t_bound_serial"] = t_serial
+    sw["serial_beaten_by"] = t_serial / t_wt_bar
+    denom = t_serial - sw["t_floor"]
+    sw["overlap_efficiency"] = ((t_serial - t_wt_bar) / denom
+                                if denom > 0 else 1.0)
 
     json.dump(out, open("ROOFLINE_FLOOR.json", "w"), indent=2)
     print(json.dumps(out, indent=2))
