@@ -47,10 +47,10 @@ class LinkPredConfig:
     kd_f: float = 0.1
     kd_p: float = 100.0
     seed: int = 42
-    impl: str = "auto"            # auto | xla | pallas | fused
-                                  # ('fused': Rank1GatOperator layers when
-                                  # attention dropout is off, materialised
-                                  # Pallas path during dropout training)
+    impl: str = "auto"            # auto | xla | pallas | flash | fused
+                                  # ('fused': Rank1GatOperator layers —
+                                  # r5: attention dropout runs IN-KERNEL,
+                                  # so training with dropout stays fused)
 
 
 def _resolve_impl(impl: str) -> str:

@@ -69,10 +69,33 @@ def profile_graph(tag, g, x, t0):
         r["dx_transpose"] = _timeit_chain(
             lambda x, w: op(x, edge_weight=w, transpose=True), x, w)
         r["dw_sddmm"] = _timeit_chain(lambda a, b: dop(a, b), ct, x)
-        r["fwd_grad"] = _timeit_chain(
-            lambda x, w: jax.grad(
-                lambda x, w: jnp.vdot(op(x, edge_weight=w), ct),
-                argnums=(0, 1))(x, w), x, w)
+
+        # fwd+grad, honest form (r5): perturb the cotangent and consume
+        # value + dx + dw — the r4 formulation perturbed x, but dx is
+        # constant in x (loop-hoistable) and the chain never consumed
+        # dw (DCE-able with the two-kernel backward); see bench.py.
+        def vg_all(ct_, x_, w_):
+            x_ = x_ + ct_[0, 0] * 1e-30
+            v, (gx, gw) = jax.value_and_grad(
+                lambda x_, w_: jnp.vdot(op(x_, edge_weight=w_), ct_),
+                argnums=(0, 1))(x_, w_)
+            return v + gx.sum() + gw.sum()
+
+        r["fwd_grad"] = _timeit_chain(vg_all, ct, x, w)
+        # r5 A/B: the fused dx+dw single-pass backward vs the r4
+        # two-kernel backward, same honest timing
+        op_r4 = SpmmOperator.build(g, fused_bwd=False, **kw)
+
+        def vg_all_r4(ct_, x_, w_):
+            x_ = x_ + ct_[0, 0] * 1e-30
+            v, (gx, gw) = jax.value_and_grad(
+                lambda x_, w_: jnp.vdot(op_r4(x_, edge_weight=w_), ct_),
+                argnums=(0, 1))(x_, w_)
+            return v + gx.sum() + gw.sum()
+
+        r["fwd_grad_r4_two_kernel_bwd"] = _timeit_chain(vg_all_r4, ct, x, w)
+        r["fused_bwd_speedup"] = (r["fwd_grad_r4_two_kernel_bwd"]
+                                  / r["fwd_grad"])
         fs = op.fwd_split
         bs = op.bwd_split
         r["fwd_hub_size"] = 0 if fs is None else int(fs.hub.n_hub)
