@@ -83,11 +83,29 @@ def profile_chunked(src, dst, n_nodes, cfg):
     out = {"edges": e, "n_nodes": n_nodes, "d": d,
            "num_slices": num_slices}
 
-    def timed(name, fn, *args):
+    def timed(name, fn, *args, iters=10):
+        # hoist AND keep the consts as jit ARGUMENTS all the way into the
+        # chained scan — wrapping the hoisted callable in a closure and
+        # re-jitting (bench._timeit_chain) re-embeds them as constants
+        # and the 50M schedules blow the remote-compile payload again
         conv, consts = hoist_closure(fn, *args)
         consts = tuple(jnp.asarray(c) for c in consts)
-        jf = jax.jit(conv)
-        t = _timeit_chain(lambda *a: jf(consts, *a), *args)
+
+        @jax.jit
+        def run(x0, rest, consts):
+            def step(c, _):
+                o = conv(consts, x0 + c * 1e-12, *rest)
+                leaf = jax.tree_util.tree_leaves(o)[0].reshape(-1)
+                return ((leaf[0] + leaf[-1]).astype(jnp.float32)
+                        + c * 0.5, None)
+            c, _ = jax.lax.scan(step, jnp.float32(0.0), None,
+                                length=iters)
+            return c
+
+        float(run(args[0], args[1:], consts))
+        t1 = time.perf_counter()
+        float(run(args[0], args[1:], consts))
+        t = (time.perf_counter() - t1) / iters
         out[name] = t
         print(f"[profile] {name}: {t*1e3:.0f} ms  "
               f"t={time.time()-t0:.0f}s", file=sys.stderr, flush=True)
@@ -154,13 +172,22 @@ def profile_chunked(src, dst, n_nodes, cfg):
 
     conv, consts = hoist_closure(step, params, zi, zi, zi, zi)
     consts = tuple(jnp.asarray(c) for c in consts)
-    jstep = jax.jit(conv)
     feat0 = params["feat"]
 
-    def step_on_feat(feat):
-        return jstep(consts, dict(params, feat=feat), zi, zi, zi, zi)
+    @jax.jit
+    def run_step(feat, consts):
+        def body(c, _):
+            p = dict(params, feat=feat + c * 1e-12)
+            o = conv(consts, p, zi, zi, zi, zi)
+            leaf = o.reshape(-1)
+            return (leaf[0] + leaf[-1]).astype(jnp.float32) + c * 0.5, None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=4)
+        return c
 
-    out["step_full"] = _timeit_chain(step_on_feat, feat0)
+    float(run_step(feat0, consts))
+    t1 = time.perf_counter()
+    float(run_step(feat0, consts))
+    out["step_full"] = (time.perf_counter() - t1) / 4
     print(f"[profile] step_full: {out['step_full']*1e3:.0f} ms",
           file=sys.stderr, flush=True)
 
