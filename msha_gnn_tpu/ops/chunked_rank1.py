@@ -72,10 +72,11 @@ class ChunkedRank1Gat:
     def __init__(self, senders, receivers, *, n_src: int, n_dst: int,
                  num_slices: int, negative_slope: float = 0.2,
                  interpret: Optional[bool] = None,
-                 assume_sorted: bool = False):
+                 assume_sorted: bool = False, precision: str = "f32"):
         self.interpret = (
             _interpret_default() if interpret is None else interpret
         )
+        self.precision = precision
         self.n_src, self.n_dst = int(n_src), int(n_dst)
         slope = float(negative_slope)
         s = np.ascontiguousarray(senders, np.int32)
@@ -176,6 +177,7 @@ class ChunkedRank1Gat:
         self._stacked_np = stacked
         self.num_slices = num_slices
         self._slope = slope
+        self._prec = precision
         self._build()
 
     def _ensure_stacked(self):
@@ -198,6 +200,7 @@ class ChunkedRank1Gat:
         n_pad, n_dst_pad = self._n_pad, self._n_dst_pad
         r_rows, e_ch = self._r_rows, self._e_ch
         k = self.num_slices
+        prec = self._prec
         zero_seed = np.zeros((1,), np.int32)
 
         def merge_state(ms_stack, blo):
@@ -228,7 +231,8 @@ class ChunkedRank1Gat:
         def fwd_impl(c, a, x, stacked):
             d_feat = x.shape[1]
             d_pad = _round_up(d_feat, LANE)
-            x_pad = x.astype(jnp.float32)
+            x_pad = x.astype(jnp.bfloat16 if prec == "bf16"
+                             else jnp.float32)
             if d_pad != d_feat:
                 x_pad = jnp.pad(x_pad, ((0, 0), (0, d_pad - d_feat)))
             x_pad = jax.lax.optimization_barrier(x_pad)
@@ -245,7 +249,7 @@ class ChunkedRank1Gat:
                 outa, ms = _r1l_fwd_call(
                     bid, cs, first, last, zero_seed,
                     snd.reshape(1, e_ch), c_sl, a_in, x_ord, interp,
-                    slope=slope, lo_pass=True)
+                    slope=slope, lo_pass=prec != "bf16")
                 return None, (outa, ms[:, 0:1], ms[:, 1:2])
 
             st = stacked
@@ -266,7 +270,8 @@ class ChunkedRank1Gat:
         def bwd_impl(c, a, x, out, lse, gout, stacked):
             d_feat = x.shape[1]
             d_pad = _round_up(d_feat, LANE)
-            x_pad = x.astype(jnp.float32)
+            x_pad = x.astype(jnp.bfloat16 if prec == "bf16"
+                             else jnp.float32)
             if d_pad != d_feat:
                 x_pad = jnp.pad(x_pad, ((0, 0), (0, d_pad - d_feat)))
                 gout = jnp.pad(gout, ((0, 0), (0, d_pad - d_feat)))

@@ -241,7 +241,7 @@ def train_chunked(senders, receivers, n_nodes: int,
         r1 = ChunkedRank1Gat(s, r, n_src=n_nodes, n_dst=n_nodes,
                              num_slices=num_slices, interpret=interpret,
                              negative_slope=cfg.negative_slope,
-                             assume_sorted=True)
+                             assume_sorted=True, precision=cfg.precision)
         if log:
             log({"event": "layout", "num_slices": num_slices,
                  "seconds": round(time.perf_counter() - t0, 1)})

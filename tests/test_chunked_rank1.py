@@ -96,6 +96,23 @@ def test_chunked_rank1_boundary_row_split(rng):
     assert np.all(got[empty] == 0.0)
 
 
+def test_chunked_rank1_bf16(rng):
+    g, _ = make_random_bipartite(rng, 200, 100, density=0.05)
+    d = 16
+    e = g.num_edges
+    op16 = ChunkedRank1Gat(np.asarray(g.senders)[:e],
+                           np.asarray(g.receivers)[:e],
+                           n_src=200, n_dst=100, num_slices=3,
+                           interpret=True, assume_sorted=True,
+                           precision="bf16")
+    c = jnp.asarray(rng.standard_normal(200).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.3)
+    x = jnp.asarray(rng.standard_normal((100, d)).astype(np.float32))
+    got = np.asarray(op16(c, a, x))
+    want = np.asarray(_ref(g, c, a, x))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
 def test_train_chunked_fused_matches_materialized(rng):
     """train_chunked(fused=True) and the r4 materialised pipeline are
     the same math: identical first-step loss from identical init."""
