@@ -89,8 +89,9 @@ def main():
 
     class _LoggingDict(dict):
         def __setitem__(self, k, v):
-            print(f"  {k}: {v*1e3:.2f} ms  t={time.time()-t0:.0f}s",
-                  file=sys.stderr, flush=True)
+            if isinstance(v, float):
+                print(f"  {k}: {v*1e3:.2f} ms  t={time.time()-t0:.0f}s",
+                      file=sys.stderr, flush=True)
             super().__setitem__(k, v)
 
     comp = _LoggingDict()
