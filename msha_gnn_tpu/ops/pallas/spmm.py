@@ -1626,10 +1626,11 @@ class SpmmOperator:
             if fused_bwd:
                 # dx pass runs the CSR direction (output rows = senders),
                 # so dw[e] = <vals_e = g[recv_e], x[send_e]> falls out in
-                # CSR order directly — no reorder at all
+                # CSR order directly — no reorder, just the slice from
+                # the schedule length e_ch back to the weight length
                 dx, dw = _apply_weighted_dir_dw(
                     fwd_dir, fwd_split, g, w, x, interp, prec)
-                return dx, dw
+                return dx, dw[: w.shape[0]]
             dx = _apply_weighted_dir(fwd_dir, fwd_split, g, w, interp, prec)
             # dw[e] = <x[send[e]], g[recv[e]]> in CSR edge order
             dw = _sddmm_split(fwd_dir, fwd_split, x, g, interp)

@@ -503,3 +503,33 @@ def test_sparse_gat_bf16_close_to_f32(rng):
         lambda v: (m16.apply(v, g, x, train=False) ** 2).sum())(v)
     for leaf in _jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_weighted_transpose_gradients_match_xla(rng):
+    """Grad through A.T @ x with runtime weights — dx AND dw shapes and
+    values (regression: the r5 fused transpose backward returned dw at
+    the schedule length e_ch instead of the weight length e_pad)."""
+    from msha_gnn_tpu.ops import spmm
+    from msha_gnn_tpu.ops.pallas import SpmmOperator
+    from tests.conftest import make_random_bipartite
+
+    g, _ = make_random_bipartite(rng, 250, 110, density=0.05)
+    d = 8
+    op = SpmmOperator.build(g, interpret=True)
+    x = jnp.asarray(rng.standard_normal((250, d)).astype(np.float32))
+    w = jnp.asarray(rng.random(g.num_padded_edges).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((110, d)).astype(np.float32))
+
+    gx, gw = jax.grad(
+        lambda x, w: jnp.vdot(op(x, edge_weight=w, transpose=True), ct),
+        argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(
+        lambda x, w: jnp.vdot(
+            spmm(g, x, edge_weight=w, transpose=True), ct),
+        argnums=(0, 1))(x, w)
+    assert gw.shape == w.shape
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                               rtol=2e-3, atol=1e-4)
+    e = g.num_edges
+    np.testing.assert_allclose(np.asarray(gw)[:e], np.asarray(gw_r)[:e],
+                               rtol=2e-3, atol=1e-4)
