@@ -1241,6 +1241,13 @@ def _apply_weighted_dir_dw(dir_full: _Direction, split: Optional[_HubSplit],
         other_p = jnp.pad(other_p, ((0, 0), (0, d_pad - d_feat)))
     other_p = jnp.pad(other_p, ((0, n_pad - other_p.shape[0]), (0, 0)))
 
+    # Rematerialise the gather operand: the cotangent often arrives as a
+    # fusable computed value (e.g. a scaled loss adjoint), and a take
+    # whose operand fuses with its producer scalarises (~250x — the
+    # ops/chunked._pad_features lesson, applied to the backward).  One
+    # cheap [N, d] pass buys the fast row-gather path unconditionally.
+    x = jax.lax.optimization_barrier(x)
+
     def gather_vals(d: _Direction):
         xx = x.astype(jnp.bfloat16) if precision == "bf16" else x
         gathered = jnp.take(xx, d.recv_clamped, axis=0)
