@@ -111,8 +111,12 @@ def profile_chunked(src, dst, n_nodes, cfg):
               f"t={time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
     # 1. rank-1 logits: sorted row-broadcast sender term + [E] scalar
-    #    take of the receiver term (fwd, then fwd+grad)
+    #    take of the receiver term (fwd, then fwd+grad).  Tie b to the
+    #    perturbed a — otherwise the receiver take is loop-invariant and
+    #    XLA hoists it out of the timing scan (the biggest cost of this
+    #    phase would go unmeasured).
     def logits(a, b):
+        b = b + a[0] * 1e-30
         return jax.nn.leaky_relu(
             sm.broadcast_rows(a) + jnp.take(b, rcv_dev), 0.2)
 
