@@ -1525,12 +1525,17 @@ class SpmmOperator:
 
     def __init__(self, graph: BipartiteGraph, interpret: Optional[bool] = None,
                  precision: str = "f32", hub_split: Optional[int] = None,
-                 fused_bwd: bool = True):
+                 fused_bwd: bool = False):
         """``hub_split``: None = auto (degree-histogram cost model),
         0 = disable, positive = force that hub-table size.
         ``fused_bwd``: emit the weight adjoint dw from the same schedule
         pass that computes dx (r5, VERDICT r4 #6) instead of a separate
-        dw-SDDMM; False keeps the r4 two-kernel backward (bench A/B)."""
+        dw-SDDMM.  Measured 1.72x faster in ISOLATION (R5_PROBE.json)
+        but 0.89x in a production-shaped training step (R5_PROBE3.json:
+        85.0 vs 75.3 ms/step — XLA pipelines two single-output kernels
+        better than one welded two-output pass), so the default stays
+        the two-kernel backward; the flag keeps the fused pass
+        available for benching and future Mosaic scheduling work."""
         self.graph = graph
         self.precision = precision
         self.interpret = (
@@ -1678,7 +1683,7 @@ class SpmmOperator:
     @staticmethod
     def build(graph: BipartiteGraph, interpret: Optional[bool] = None,
               precision: str = "f32", hub_split: Optional[int] = None,
-              fused_bwd: bool = True):
+              fused_bwd: bool = False):
         return SpmmOperator(graph, interpret, precision, hub_split,
                             fused_bwd)
 
