@@ -76,18 +76,28 @@ def main():
     C = _Ctx()
 
     def sec(name, fn):
-        try:
-            if os.environ.get("BENCH_FAIL_SECTION") == name:
-                raise RuntimeError("injected failure (BENCH_FAIL_SECTION)")
-            out = fn()
-            if out:
-                details.update(out)
-            print(f"{name} done t={time.time()-t_start:.0f}s",
-                  file=sys.stderr)
-        except Exception as ex:
-            details[f"{name}_error"] = f"{type(ex).__name__}: {ex}"
-            print(f"section {name} FAILED: {ex!r}", file=sys.stderr)
-            traceback.print_exc(file=sys.stderr)
+        # one retry per section: the remoted compile path occasionally
+        # drops a response mid-body ("response body closed before all
+        # bytes were read") under load — transient, and sections are
+        # idempotent
+        for attempt in (1, 2):
+            try:
+                if os.environ.get("BENCH_FAIL_SECTION") == name:
+                    raise RuntimeError(
+                        "injected failure (BENCH_FAIL_SECTION)")
+                out = fn()
+                if out:
+                    details.update(out)
+                print(f"{name} done t={time.time()-t_start:.0f}s",
+                      file=sys.stderr)
+                return
+            except Exception as ex:
+                print(f"section {name} FAILED (attempt {attempt}): "
+                      f"{ex!r}", file=sys.stderr)
+                traceback.print_exc(file=sys.stderr)
+                if attempt == 2:
+                    details[f"{name}_error"] = (
+                        f"{type(ex).__name__}: {ex}")
 
     def sec_spmm():
         if small:
