@@ -56,7 +56,11 @@ class LinkPredConfig:
 def _resolve_impl(impl: str) -> str:
     if impl != "auto":
         return impl
-    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    # fused = the rank-1 GAT operator with in-kernel attention dropout
+    # (r5): measured identical quality to the materialised pallas path
+    # (AUC 0.9357 vs 0.936 on the GOLDEN protocol) at 2.9x the epoch
+    # rate (0.98 vs 2.85 s/epoch) — GOLDEN.md linkpred table
+    return "fused" if jax.devices()[0].platform == "tpu" else "xla"
 
 
 def run_link_prediction(split, cfg: LinkPredConfig, log=None):
